@@ -1,0 +1,537 @@
+"""Driver correctness-gate surface: Spark queries + matching DuckDB oracles.
+
+Each entry here is an operator from SURVEY.md §2 (names carry the inventory
+id: s/p/j/a/t/u/c/m/g) expressed twice with identical semantics and column
+names:
+
+- a Spark callable (spark, sf_dir) -> DataFrame, built on quickb_spark ops;
+- an ANSI-SQL string DuckDB runs over the same parquet (views pre-registered
+  by the driver: documents, embeddings, ...).
+
+Determinism rules shared by both sides:
+- the tokenizer is config.TOKEN_PATTERN on lower(text) — same regex, both
+  engines (RE2/Java regex agree on this ASCII-only pattern);
+- hash primitives are md5/sha256 hex (bit-identical everywhere);
+- floats are rounded to 4dp BEFORE ranking, so order-by ties break on ids
+  identically in both engines;
+- ranks are INT, counts BIGINT, ratios DOUBLE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from quickb_spark.chunking import chunk_documents
+from quickb_spark.config import TOKEN_PATTERN, EngineConfig
+from quickb_spark.functions.rounding import grid4, sql_grid4
+from quickb_spark.index.build import (
+    build_doc_stats,
+    build_flat_postings,
+    build_term_stats,
+    corpus_stats,
+)
+from quickb_spark.ops.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from quickb_spark.ops.similarity import cosine_topk, lsh_bucketed_topk
+from quickb_spark.ops.textstats import (
+    EN_STOPWORDS,
+    fingerprint_bottomk,
+    lang_id_cols,
+    quality_cols,
+    token_count_cols,
+)
+from quickb_spark.query.bm25 import bm25_score_col, query_terms
+
+#: The gate query set (terms drawn from the testdata vocabulary; q90 absent).
+GATE_QUERIES: list[tuple[str, str]] = [
+    ("q01", "hash join"),
+    ("q02", "sort merge join"),
+    ("q03", "window agg stream"),
+    ("q04", "dup"),
+    ("q05", "spark fast scan"),
+    ("q06", "customer order line"),
+    ("q07", "key value column"),
+    ("q08", "batch"),
+    ("q09", "the a big small"),
+    ("q10", "filter group query vector"),
+    ("q90", "zzz_absent_term"),
+]
+
+TOP_K = 10
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Spark side
+# --------------------------------------------------------------------------
+
+def _flat_index(spark: SparkSession, sf_dir: str):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    flat = build_flat_postings(docs)
+    doc_stats = build_doc_stats(flat)
+    term_stats = build_term_stats(flat)
+    return flat, doc_stats, term_stats
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: BM25 top-k over the documents table (doc-level index)."""
+    flat, doc_stats, term_stats = _flat_index(spark, sf_dir)
+    n, avgdl = corpus_stats(doc_stats)
+    qdf = spark.createDataFrame(GATE_QUERIES, ["query_id", "query_text"])
+    qt = query_terms(qdf).join(term_stats, "term")
+    partial = (
+        flat.join(F.broadcast(qt), "term")
+        .join(doc_stats, "doc_id")
+        .select("query_id", "doc_id", bm25_score_col(n, avgdl).alias("partial"))
+    )
+    scored = partial.groupBy("query_id", "doc_id").agg(
+        grid4(F.sum("partial")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 + A-class engine aggs: per-term document/collection frequency."""
+    flat, _, _ = _flat_index(spark, sf_dir)
+    return build_term_stats(flat)
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine agg: per-document token length."""
+    flat, doc_stats, _ = _flat_index(spark, sf_dir)
+    return doc_stats
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/A1: exact-duplicate groups by content digest."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text")
+
+
+def q_dup_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: text-equality self equi-join (1:N fan-out like questions→chunks)."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("content_md5"), "doc_id"
+    )
+    a = docs.withColumnRenamed("doc_id", "id_a")
+    b = docs.withColumnRenamed("doc_id", "id_b")
+    return a.join(b, "content_md5").filter(F.col("id_a") < F.col("id_b"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-anti existence check (docs lacking a high-label embedding)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label") >= 3)
+    return docs.join(
+        emb, docs["doc_id"] == emb["vec_id"], "left_anti"
+    ).select("doc_id", "lang")
+
+
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: group-by digest, collect sorted member ids (text→[ids] map)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("ids_csv")
+    )
+
+
+def q_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4-style ranking: top-5 largest docs per lang, deterministic ties."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "n_chars")
+    )
+
+
+def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4: per-lang counts, distinct sources, avg size."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        grid4(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+def q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: the per-row content-digest invariant column."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6-adjacent dedup: 8 md5-min-hash signatures per document."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: banded-LSH candidate duplicate pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_rows=2)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/J4: exact 3-gram Jaccard pairs above threshold."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_shingle_df=None)
+    return pairs.select("id_a", "id_b", grid4(F.col("jaccard")).alias("jaccard"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C11: whitespace + engine token counts."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", *token_count_cols("text"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: stopword-ratio language heuristic."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", *lang_id_cols("text"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: quality-scoring signals."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", *quality_cols("text"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: bottom-k shingle-sketch fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint_bottomk(docs, "doc_id", "text", k=4)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: brute-force cosine top-k over the embeddings table."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(KNN_QUERY_IDS))
+    return cosine_topk(corpus, queries, k=TOP_K, round_to=4)
+
+
+# ---- rows-only entries (not SQL-expressible; pytest oracles cover them) ----
+
+def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/C1-C4: recursive-character chunking of the documents table."""
+    docs = _as_corpus(spark, sf_dir)
+    return chunk_documents(docs, EngineConfig())
+
+
+def q_bm25_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: chunk → index → BM25 top-k (rank-identity is
+    asserted against the Python oracle in tests, not SQL)."""
+    from quickb_spark.query.bm25 import bm25_topk_flat
+
+    docs = _as_corpus(spark, sf_dir)
+    chunks = chunk_documents(docs, EngineConfig())
+    flat = build_flat_postings(chunks)
+    doc_stats = build_doc_stats(flat)
+    n, avgdl = corpus_stats(doc_stats)
+    qdf = spark.createDataFrame(GATE_QUERIES, ["query_id", "query_text"])
+    return bm25_topk_flat(
+        flat, build_term_stats(flat), doc_stats, qdf, n, avgdl, k=TOP_K
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup: 64-bit simhash per document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col("text").alias("simhash"))
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucketed cosine top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(KNN_QUERY_IDS))
+    return lsh_bucketed_topk(corpus, queries, dim=64, k=TOP_K)
+
+
+def _as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the testdata documents table to the BASELINE input_hint shape
+    (repo, path, commit, lang, content) — deterministic, no data invented."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.substring(F.sha2(F.concat_ws("/", "source", F.col("doc_id").cast("string")), 256), 1, 40).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+
+_TOKS = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS term "
+    "FROM documents"
+).format(pat=TOKEN_PATTERN)
+
+_TF = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKS}) GROUP BY doc_id, term"
+
+_ORD_TOKS = (
+    "SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS ord "
+    "FROM (SELECT doc_id, regexp_extract_all(lower(text), '{pat}') AS l FROM documents)"
+).format(pat=TOKEN_PATTERN)
+
+_SHINGLES = (
+    "SELECT DISTINCT doc_id, shingle FROM ("
+    " SELECT doc_id, term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle"
+    f" FROM ({_ORD_TOKS})"
+    " WINDOW w AS (PARTITION BY doc_id ORDER BY ord)"
+    ") WHERE shingle IS NOT NULL"
+)
+
+_QUERY_VALUES = ", ".join(f"('{qid}', '{qt}')" for qid, qt in GATE_QUERIES)
+
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH tf AS ({_TF}),
+dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, query_text) AS (VALUES {_QUERY_VALUES}),
+qt AS (SELECT DISTINCT query_id, term FROM (
+  SELECT query_id, unnest(regexp_extract_all(lower(query_text), '{TOKEN_PATTERN}')) AS term FROM q)),
+partial AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1 + (stats.n - ts.df + 0.5) / (ts.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) AS s
+  FROM qt
+  JOIN ts USING (term)
+  JOIN tf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats),
+scored AS (
+  SELECT query_id, doc_id, floor(CAST(sum(s) AS DOUBLE) * 10000 + 0.5) / 10000 AS score
+  FROM partial GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _knn_sql() -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN ({ids})),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id NOT IN ({ids})),
+pairs AS (
+  SELECT q.query_id, c.vec_id,
+         floor(CAST(list_cosine_similarity(
+           CAST(q.qvec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS DOUBLE) * 10000 + 0.5) / 10000 AS cos
+  FROM q CROSS JOIN c),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM pairs)
+SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}' || ':' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_SHINGLES}) GROUP BY doc_id"
+
+
+def _lsh_pairs_sql(num_hashes: int = 8, band_rows: int = 2) -> str:
+    band_selects = []
+    for b in range(num_hashes // band_rows):
+        cols = " || '|' || ".join(f"h{b * band_rows + r}" for r in range(band_rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {cols} AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sigs AS ({_minhash_sig_sql(num_hashes)}),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def _jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH toks AS ({_TOKS}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ({_STOPWORD_LIST}) THEN 1 ELSE 0 END) AS stop_hits,
+         avg(CAST(length(term) AS DOUBLE)) AS mtl
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       length(d.text) AS n_chars_txt,
+       CAST(coalesce(a.n_tokens, 0) AS INTEGER) AS n_tokens,
+       round(CASE WHEN length(d.text) > 0
+             THEN CAST(len(regexp_extract_all(d.text, '[.!?]')) AS DOUBLE) / length(d.text)
+             ELSE 0.0 END, 4) AS punct_ratio,
+       round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+             THEN CAST(a.stop_hits AS DOUBLE) / a.n_tokens ELSE 0.0 END, 4) AS stop_ratio,
+       round(CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN a.mtl ELSE 0.0 END, 4) AS mean_tok_len,
+       round(CAST(least(1.0, CAST(coalesce(a.n_tokens, 0) AS DOUBLE) / 100.0) * 0.5
+             + round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                     THEN CAST(a.stop_hits AS DOUBLE) / a.n_tokens ELSE 0.0 END, 4) * 0.3
+             + CASE WHEN round(CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN a.mtl ELSE 0.0 END, 4)
+                         BETWEEN 3.0 AND 10.0
+                    THEN 0.2 ELSE 0.0 END AS DOUBLE), 4) AS quality
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "t1_bm25_topk": _bm25_sql(),
+    "c7_term_stats": (
+        f"SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf "
+        f"FROM ({_TF}) GROUP BY term"
+    ),
+    "a4_doc_stats": (
+        f"SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len "
+        f"FROM ({_TF}) GROUP BY doc_id"
+    ),
+    "u2_dedup_exact": (
+        "SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keep_id "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "j1_dup_text_pairs": (
+        "SELECT a.content_md5, a.doc_id AS id_a, b.doc_id AS id_b FROM "
+        "(SELECT md5(text) AS content_md5, doc_id FROM documents) a JOIN "
+        "(SELECT md5(text) AS content_md5, doc_id FROM documents) b "
+        "ON a.content_md5 = b.content_md5 AND a.doc_id < b.doc_id"
+    ),
+    "j2_anti_join": (
+        "SELECT d.doc_id, d.lang FROM documents d WHERE NOT EXISTS "
+        "(SELECT 1 FROM embeddings e WHERE e.label >= 3 AND e.vec_id = d.doc_id)"
+    ),
+    "a1_group_collect": (
+        "SELECT md5(text) AS content_md5, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_csv "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "t4_topk_per_lang": (
+        "SELECT lang, rank, doc_id, n_chars FROM ("
+        "SELECT lang, doc_id, n_chars, CAST(row_number() OVER "
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rank "
+        "FROM documents) WHERE rank <= 5"
+    ),
+    "a2_lang_rollup": (
+        "SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources, "
+        "floor(CAST(avg(n_chars) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_chars FROM documents GROUP BY lang"
+    ),
+    "c14_sha256": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+    "m6_minhash_signatures": _minhash_sig_sql(),
+    "j4_lsh_pairs": _lsh_pairs_sql(),
+    "m4_ngram_jaccard": _jaccard_sql(),
+    "c11_token_counts": (
+        "SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS ws_tokens, "
+        f"CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS INTEGER) AS engine_tokens "
+        "FROM documents"
+    ),
+    "p6_lang_id": (
+        "WITH t AS (SELECT doc_id, count(*) AS n, "
+        f"sum(CASE WHEN term IN ({_STOPWORD_LIST}) THEN 1 ELSE 0 END) AS hits "
+        f"FROM ({_TOKS}) GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "floor((CASE WHEN coalesce(t.n, 0) > 0 THEN CAST(t.hits AS DOUBLE) / t.n ELSE 0.0 END) * 10000 + 0.5) / 10000 AS en_ratio, "
+        "CASE WHEN coalesce(t.n, 0) = 0 THEN 'empty' "
+        "WHEN floor((CASE WHEN coalesce(t.n, 0) > 0 THEN CAST(t.hits AS DOUBLE) / t.n ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.08 THEN 'en' "
+        "ELSE 'unk' END AS lang_guess "
+        "FROM documents d LEFT JOIN t USING (doc_id)"
+    ),
+    "a8_quality": _quality_sql(),
+    "t3_fingerprint": (
+        f"WITH sh AS ({_SHINGLES}), "
+        "hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh), "
+        "ranked AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM hashed) "
+        "SELECT doc_id, string_agg(h, '' ORDER BY h) AS fingerprint "
+        "FROM ranked WHERE rn <= 4 GROUP BY doc_id"
+    ),
+    "m1_knn_cosine": _knn_sql(),
+}
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t1_bm25_topk": q_bm25_topk,
+    "c7_term_stats": q_term_stats,
+    "a4_doc_stats": q_doc_stats,
+    "u2_dedup_exact": q_dedup_exact,
+    "j1_dup_text_pairs": q_dup_text_pairs,
+    "j2_anti_join": q_anti_join,
+    "a1_group_collect": q_group_collect,
+    "t4_topk_per_lang": q_topk_per_lang,
+    "a2_lang_rollup": q_lang_rollup,
+    "c14_sha256": q_sha256,
+    "m6_minhash_signatures": q_minhash_signatures,
+    "j4_lsh_pairs": q_lsh_pairs,
+    "m4_ngram_jaccard": q_ngram_jaccard,
+    "c11_token_counts": q_token_counts,
+    "p6_lang_id": q_lang_id,
+    "a8_quality": q_quality,
+    "t3_fingerprint": q_fingerprint,
+    "m1_knn_cosine": q_knn_cosine,
+    # rows-only (no SQL oracle — covered by pytest python-oracles):
+    "g1_chunks": q_chunks,
+    "t1_bm25_chunked": q_bm25_chunked,
+    "u1_simhash": q_simhash,
+    "m1_knn_lsh": q_knn_lsh,
+}

@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates twice: exact text equality before LLM fan-out
+(reference src/main.py:313-321) and embedding-cosine near-dup among generated
+questions (reference src/synth_dataset/deduplicator.py:11-79, an O(n²)
+in-memory similarity matrix). Re-expressed here as distributed operators:
+
+- exact:          hash-groupBy on a content digest (maps A1/A2/U2)
+- minhash LSH:    shingle → k md5-min signatures → banded bucket join —
+                  candidate pairs without the O(n²) all-pairs matrix
+- n-gram Jaccard: exact Jaccard over distinct shingles via a shingle-keyed
+                  self-join (verification stage after LSH candidates)
+- simhash:        64-bit simhash via vectorized NumPy bit-count kernel
+
+Portability note: hash primitives are md5-hex (not xxhash) so every operator
+has a bit-identical ANSI-SQL oracle (DuckDB `md5`) — the driver's correctness
+gate compares them value-for-value. Lexicographic MIN over hex digests is a
+uniform min-hash; no hex→int conversion needed anywhere.
+
+Scale notes: the LSH band join shuffles one row per (doc, band) — b rows per
+doc — and only collides true candidates; exact Jaccard runs on the candidate
+set, never all pairs. Common-shingle skew is bounded by dropping shingles
+with document frequency above `max_shingle_df` (stopword-shingles carry no
+dedup signal but quadratic join cost).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from quickb_spark.functions.tokenize import tokens_col
+
+__all__ = [
+    "exact_dup_groups",
+    "shingles_col",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_col",
+]
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts: (content_md5, n_dups, keep_id) — keep-first
+    policy is keep-min-id (deterministic analog of the reference's
+    keep-first-occurrence, src/synth_dataset/deduplicator.py:19-36)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingles_col(text_col: Column | str, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles over the engine tokenizer."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + 1 + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}): k independent min-hashes per document.
+
+    h_i(doc) = lexicographic MIN over shingles s of md5(i || ':' || s).
+    Documents with no shingles are dropped (nothing to compare).
+    Computation is one explode + one hash-agg — partial aggregation makes the
+    shuffle carry k strings per doc, not per shingle.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    -> distinct (id_a, id_b) with id_a < id_b. The join key is
+    (band_id, band_hash), so only true bucket collisions shuffle together.
+    """
+    bands = []
+    for b in range(num_hashes // band_rows):
+        cols = [f"h{b * band_rows + r}" for r in range(band_rows)]
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *cols).alias("band_hash"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left = allb.select(
+        "band_id", "band_hash", F.col(id_col).alias("id_a")
+    )
+    right = allb.select(
+        "band_id", "band_hash", F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    -> (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Skew guard: shingles occurring in more than max_shingle_df docs are
+    excluded from the pair join (they would create quadratic blowup while
+    carrying no discriminative signal); sizes still count all shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    joinable = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    inter = (
+        joinable.select(F.col("id").alias("id_a"), "shingle")
+        .join(joinable.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_col(text_col: Column | str = "text", bits: int = 64):
+    """64-bit simhash as a vectorized pandas UDF (no SQL oracle — verified
+    against a pure-Python oracle in tests/test_dedup.py).
+
+    Per token: 64 hash bits from md5(token); per document: sign of the
+    tf-weighted bit sums. NumPy unpackbits kernel — no per-row Python beyond
+    the tokenizer scan shared with indexing.
+    """
+    import hashlib
+
+    from quickb_spark.functions.tokenize import tokenize_py
+
+    @F.pandas_udf(LongType())
+    def _simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for row, t in enumerate(text):
+            if not t:
+                continue
+            toks = tokenize_py(t)
+            if not toks:
+                continue
+            vals, counts = np.unique(toks, return_counts=True)
+            digests = np.frombuffer(
+                b"".join(hashlib.md5(v.encode()).digest()[:8] for v in vals),
+                dtype=np.uint8,
+            ).reshape(len(vals), 8)
+            bits_mat = np.unpackbits(digests, axis=1).astype(np.int64)  # (v, 64)
+            acc = ((2 * bits_mat - 1) * counts[:, None]).sum(axis=0)
+            bitvec = (acc > 0).astype(np.uint8)
+            out[row] = np.int64(
+                int.from_bytes(np.packbits(bitvec).tobytes(), "big", signed=True)
+            )
+        return pd.Series(out)
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _simhash(col)

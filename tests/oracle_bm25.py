@@ -1,0 +1,65 @@
+"""Brute-force inverted index + BM25 oracle (pure Python/NumPy, no Spark).
+
+Transparent reimplementation used as the correctness target for the engine's
+index build and query paths (SURVEY.md §5 items 2-3). Same tokenizer spec
+(config.TOKEN_PATTERN), same Lucene-style BM25, same tie-breaks
+(score desc, doc_id asc), tolerance 1e-6 on scores.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from quickb_spark.config import BM25_B, BM25_K1
+from quickb_spark.functions.tokenize import tokenize_py
+
+
+class OracleIndex:
+    def __init__(self, docs: list[tuple[int, str]]):
+        """docs: [(doc_id, text)] — typically the Spark-produced chunks."""
+        self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        self.doc_len: dict[int, int] = {}
+        for doc_id, text in docs:
+            toks = tokenize_py(text)
+            if not toks:
+                continue
+            self.doc_len[doc_id] = len(toks)
+            pos: dict[str, list[int]] = defaultdict(list)
+            for i, t in enumerate(toks):
+                pos[t].append(i)
+            for t, p in pos.items():
+                self.postings[t][doc_id] = p
+        self.n_docs = len(self.doc_len)
+        self.avgdl = (
+            sum(self.doc_len.values()) / self.n_docs if self.n_docs else 0.0
+        )
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def cf(self, term: str) -> int:
+        return sum(len(p) for p in self.postings.get(term, {}).values())
+
+    def idf(self, term: str) -> float:
+        d = self.df(term)
+        return math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
+
+    def score(self, query: str, k1: float = BM25_K1, b: float = BM25_B) -> dict[int, float]:
+        scores: dict[int, float] = Counter()
+        for term in set(tokenize_py(query)):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            idf = self.idf(term)
+            for doc_id, positions in plist.items():
+                tf = float(len(positions))
+                dl = self.doc_len[doc_id]
+                norm = tf + k1 * (1.0 - b + b * dl / self.avgdl)
+                scores[doc_id] += idf * tf * (k1 + 1.0) / norm
+        return dict(scores)
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
+        """-> [(rank, doc_id, score)] with deterministic tie-breaks."""
+        scored = sorted(self.score(query).items(), key=lambda t: (-t[1], t[0]))
+        return [(r + 1, d, s) for r, (d, s) in enumerate(scored[:k])]
