@@ -1,0 +1,204 @@
+"""Posting-list compression: delta-gap + varbyte, with block-max metadata.
+
+Pure NumPy kernels (no Spark imports) — they run inside applyInPandas groups
+during segment build and inside the WAND scorer at query time. Fully
+vectorized: the varbyte encoder emits all 10 potential byte planes of the
+uint64 stream with masks (no per-value Python loop); the decoder scans
+continuation bits with cumulative masks.
+
+Layout per (term, salt) posting list:
+  doc stream   varbyte(gaps of order-preserving uint64-mapped docIDs)
+  tf stream    varbyte(tf values)
+  dl stream    varbyte(doc lengths) — inlining dl makes query-time scoring
+               join-free (no doc-length broadcast table, which could not
+               broadcast at 10^12 docs); costs ~1-2 bytes/posting
+  pos stream   varbyte(per-doc delta-encoded token positions), lengths = tf
+  block meta   per block of `block_size` docs:
+                 last_doc  (skip pointer for WAND)
+                 max_tf    (upper-bounds the tf saturation term)
+                 min_dl    (lower-bounds the length normalizer)
+               max_tf+min_dl give a correct BM25 upper bound per block:
+               score ≤ idf·S(max_tf, min_dl), since BM25 is increasing in tf
+               and decreasing in dl.
+
+Signed docIDs (xxhash64) map to uint64 by flipping the sign bit
+(two's-complement → offset-binary), which preserves sort order, so gaps are
+always ≥1 for strictly increasing ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "to_u64",
+    "from_u64",
+    "varbyte_encode",
+    "varbyte_decode",
+    "encode_posting_list",
+    "decode_posting_list",
+    "block_meta",
+]
+
+_SIGN = np.uint64(0x8000000000000000)
+
+
+def to_u64(doc_ids: np.ndarray) -> np.ndarray:
+    """int64 -> order-preserving uint64."""
+    return doc_ids.astype(np.int64).view(np.uint64) ^ _SIGN
+
+
+def from_u64(u: np.ndarray) -> np.ndarray:
+    """uint64 -> original int64."""
+    return (u ^ _SIGN).view(np.int64)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varbyte for a uint64 array, vectorized.
+
+    7 payload bits per byte, continuation bit 0x80 on all but the last byte
+    of each value.
+    """
+    v = values.astype(np.uint64, copy=False)
+    n = len(v)
+    if n == 0:
+        return b""
+    # Byte plane j holds bits [7j, 7j+7); plane 0 always present.
+    planes = np.empty((10, n), dtype=np.uint8)
+    valid = np.empty((10, n), dtype=bool)
+    for j in range(10):
+        shifted = v >> np.uint64(7 * j)
+        planes[j] = (shifted & np.uint64(0x7F)).astype(np.uint8)
+        valid[j] = shifted != 0 if j > 0 else True
+    # continuation bit: byte j of a value is non-final iff some plane k>j
+    # is valid for that value
+    nonfinal = np.zeros((10, n), dtype=bool)
+    any_above = np.zeros(n, dtype=bool)
+    for j in range(9, -1, -1):
+        nonfinal[j] = valid[j] & any_above
+        any_above |= valid[j]
+    planes_out = planes | (nonfinal.astype(np.uint8) << 7)
+    # interleave value-major: transpose then take valid bytes in order
+    mask_t = valid.T.reshape(-1)  # (n*10,) value-major, plane ascending
+    bytes_t = planes_out.T.reshape(-1)
+    return bytes_t[mask_t].tobytes()
+
+
+def varbyte_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode `count` uint64 values from a varbyte stream, vectorized."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_final = (raw & 0x80) == 0
+    # index of the value each byte belongs to = #finals strictly before it
+    value_idx = np.zeros(len(raw), dtype=np.int64)
+    np.cumsum(is_final[:-1], out=value_idx[1:])
+    # position of the byte within its value
+    starts = np.zeros(len(raw), dtype=bool)
+    starts[0] = True
+    starts[1:] = is_final[:-1]
+    byte_pos = np.arange(len(raw)) - np.maximum.accumulate(
+        np.where(starts, np.arange(len(raw)), 0)
+    )
+    out = np.zeros(count, dtype=np.uint64)
+    np.add.at(
+        out,
+        value_idx,
+        (raw & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * byte_pos.astype(np.uint64)),
+    )
+    return out
+
+
+def block_meta(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block (last_doc, max_tf, min_dl) for block-max WAND."""
+    n = len(doc_ids)
+    nb = (n + block_size - 1) // block_size
+    last_doc = np.empty(nb, dtype=np.int64)
+    max_tf = np.empty(nb, dtype=np.int64)
+    min_dl = np.empty(nb, dtype=np.int64)
+    for b in range(nb):
+        lo, hi = b * block_size, min((b + 1) * block_size, n)
+        last_doc[b] = doc_ids[hi - 1]
+        max_tf[b] = tfs[lo:hi].max()
+        min_dl[b] = dls[lo:hi].min()
+    return last_doc, max_tf, min_dl
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: list | None = None,
+    block_size: int = 128,
+) -> dict:
+    """Encode one sorted posting list. Returns the segment-row payload."""
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
+    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    dls = np.asarray(dls, dtype=np.int64)[order]
+    u = to_u64(doc_ids)
+    gaps = np.empty_like(u)
+    if len(u):
+        gaps[0] = u[0]
+        np.subtract(u[1:], u[:-1], out=gaps[1:])
+    doc_stream = varbyte_encode(gaps)
+    tf_stream = varbyte_encode(tfs.astype(np.uint64))
+    dl_stream = varbyte_encode(dls.astype(np.uint64))
+    pos_stream = b""
+    if positions is not None:
+        # per-doc delta-encoded positions; lengths are the tf values
+        chunks = []
+        for i in np.asarray(order):
+            p = np.asarray(positions[i], dtype=np.int64)
+            d = np.empty_like(p)
+            if len(p):
+                d[0] = p[0]
+                np.subtract(p[1:], p[:-1], out=d[1:])
+            chunks.append(d)
+        if chunks:
+            pos_stream = varbyte_encode(
+                np.concatenate(chunks).view(np.uint64)
+                if chunks
+                else np.empty(0, dtype=np.uint64)
+            )
+    last_doc, max_tf, min_dl = block_meta(doc_ids, tfs, dls, block_size)
+    return {
+        "n_docs": int(len(doc_ids)),
+        "doc_stream": doc_stream,
+        "tf_stream": tf_stream,
+        "dl_stream": dl_stream,
+        "pos_stream": pos_stream,
+        "block_last_doc": last_doc.tolist(),
+        "block_max_tf": max_tf.tolist(),
+        "block_min_dl": min_dl.tolist(),
+    }
+
+
+def decode_posting_list(
+    doc_stream: bytes, tf_stream: bytes, n_docs: int, dl_stream: bytes | None = None
+):
+    """-> (doc_ids int64 sorted ascending, tfs int64[, dls int64])."""
+    gaps = varbyte_decode(doc_stream, n_docs)
+    u = np.cumsum(gaps, dtype=np.uint64)
+    tfs = varbyte_decode(tf_stream, n_docs).view(np.int64)
+    if dl_stream is None:
+        return from_u64(u), tfs
+    dls = varbyte_decode(dl_stream, n_docs).view(np.int64)
+    return from_u64(u), tfs, dls
+
+
+def decode_positions(
+    pos_stream: bytes, tfs: np.ndarray
+) -> list[np.ndarray]:
+    """-> list of absolute-position arrays aligned with the doc order."""
+    total = int(np.sum(tfs))
+    flat = varbyte_decode(pos_stream, total).view(np.int64)
+    out = []
+    off = 0
+    for tf in tfs:
+        d = flat[off : off + int(tf)]
+        out.append(np.cumsum(d))
+        off += int(tf)
+    return out

@@ -1,0 +1,263 @@
+"""BM25 top-k over compressed segments: DAAT with block-max WAND pruning.
+
+Query plan (SURVEY.md §2.11):
+
+  queries ─► tokenize ─► distinct terms (tiny) ─► bucket ids (same
+  pmod(xxhash64) as the build) ─► segment scan PRUNED to those bucket
+  partitions + term filter (pushed to parquet) ─► broadcast-join the
+  (query_id, term) map ─► groupBy(query_id).applyInPandas scorer.
+
+The scorer decodes varbyte streams (NumPy), re-merges salted sub-lists per
+term (hot-term salting is a build-time artifact — queries see one logical
+posting list), recomputes block-max metadata on the merged arrays, and runs
+document-at-a-time WAND: a pivot is the first term (in current-docID order)
+at which accumulated upper bounds reach the running top-k threshold θ;
+everything before it is skipped via searchsorted jumps, and a block-level
+upper-bound check skips whole blocks. Pruning uses strict `< θ` so docs
+tying the kth score are still evaluated — results are EXACTLY the naive
+scorer's, including tie-breaks (verified in tests/test_segments_wand.py).
+
+Correctness guardrails:
+- upper bounds come from (max_tf, min_dl): BM25 is monotonically increasing
+  in tf and decreasing in dl, so idf·S(max_tf, min_dl) bounds every doc in
+  scope; block bounds are recomputed post-merge so salting can't break them.
+- df for idf is the sum of df_part over a term's salted rows — global by
+  construction since the scan loads every salt of each query term.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quickb_spark.config import BM25_B, BM25_K1
+from quickb_spark.index.encode import block_meta, decode_posting_list
+from quickb_spark.index.segments import _bucket_col, load_stats
+from quickb_spark.query.bm25 import query_terms, topk_window
+
+__all__ = ["bm25_topk_segments"]
+
+
+def _bm25_vec(tf, dl, idf, k1, b, avgdl):
+    tf = tf.astype(np.float64)
+    norm = tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+    return idf * tf * (k1 + 1.0) / norm
+
+
+def _exact_topk(terms, k):
+    """Vectorized exhaustive DAAT (verification / no-prune path)."""
+    if not terms:
+        return [], []
+    docs = np.concatenate([t["docs"] for t in terms])
+    scores = np.concatenate([t["scores"] for t in terms])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(len(uniq))
+    np.add.at(acc, inv, scores)
+    order = np.lexsort((uniq, -acc))[:k]
+    return uniq[order].tolist(), acc[order].tolist()
+
+
+def _wand_topk(terms, k, k1, b, avgdl):
+    """Block-max WAND. terms: [{docs, tfs, dls, idf, blocks...}]."""
+    nt = len(terms)
+    if nt == 0:
+        return [], []
+    ptr = [0] * nt
+    lens = [len(t["docs"]) for t in terms]
+    # global upper bound per term
+    ub = []
+    for t in terms:
+        mtf = float(t["tfs"].max())
+        mdl = float(t["dls"].min())
+        ub.append(
+            t["idf"] * mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
+        )
+    heap: list[float] = []  # min-heap of top-k scores (θ = heap[0])
+    results: dict[int, float] = {}
+
+    def theta():
+        return heap[0] if len(heap) == k else -np.inf
+
+    while True:
+        active = [t for t in range(nt) if ptr[t] < lens[t]]
+        if not active:
+            break
+        active.sort(key=lambda t: terms[t]["docs"][ptr[t]])
+        acc = 0.0
+        pivot_i = None
+        for i, t in enumerate(active):
+            acc += ub[t]
+            if acc >= theta():
+                pivot_i = i
+                break
+        if pivot_i is None:
+            break  # no doc can reach θ anymore
+        pivot_t = active[pivot_i]
+        pivot_doc = int(terms[pivot_t]["docs"][ptr[pivot_t]])
+        # extend the prefix over ties: every term currently AT pivot_doc can
+        # contribute to its score and must be inside the pruning bound
+        while (
+            pivot_i + 1 < len(active)
+            and int(terms[active[pivot_i + 1]]["docs"][ptr[active[pivot_i + 1]]])
+            == pivot_doc
+        ):
+            pivot_i += 1
+
+        # block-max refinement (Ding & Suel BMW): bound the pivot-prefix
+        # contribution by the block maxima at pivot_doc
+        block_acc = 0.0
+        # min_block_end must stay an exact int: doc ids use up to 63 bits
+        # and float64 rounding of an id can land BELOW the pivot, turning
+        # the skip into a no-op (infinite loop)
+        min_block_end: int | None = None
+        for t in active[: pivot_i + 1]:
+            td = terms[t]
+            bidx = int(np.searchsorted(td["block_last_doc"], pivot_doc))
+            if bidx >= len(td["block_last_doc"]):
+                # this term's list ends before pivot_doc: it contributes
+                # nothing at or beyond the pivot, and imposes no skip bound
+                continue
+            mtf = float(td["block_max_tf"][bidx])
+            mdl = float(td["block_min_dl"][bidx])
+            block_acc += (
+                td["idf"] * mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
+            )
+            bend = int(td["block_last_doc"][bidx])
+            min_block_end = bend if min_block_end is None else min(min_block_end, bend)
+        if block_acc < theta():
+            # no doc in [pivot_doc, min_block_end] can reach θ from the
+            # prefix alone; docs beyond the next non-prefix cursor may gain
+            # other contributions, so never skip past that cursor
+            skip_to = min_block_end + 1
+            if pivot_i + 1 < len(active):
+                nxt = active[pivot_i + 1]
+                skip_to = min(skip_to, int(terms[nxt]["docs"][ptr[nxt]]))
+            for t in active[: pivot_i + 1]:
+                td = terms[t]
+                ptr[t] = int(np.searchsorted(td["docs"], skip_to))
+            continue
+
+        first_doc = int(terms[active[0]]["docs"][ptr[active[0]]])
+        if first_doc == pivot_doc:
+            # all prefix terms aligned on pivot_doc: evaluate it fully
+            s = 0.0
+            for t in active:
+                td = terms[t]
+                p = ptr[t]
+                if p < lens[t] and td["docs"][p] == pivot_doc:
+                    s += float(td["scores"][p])
+                    ptr[t] = p + 1
+            results[pivot_doc] = s
+            if len(heap) < k:
+                heapq.heappush(heap, s)
+            elif s > heap[0]:
+                heapq.heapreplace(heap, s)
+        else:
+            # advance the lagging term with the largest ub (fewest future
+            # evaluations) up to pivot_doc
+            lagging = [
+                t
+                for t in active[: pivot_i + 1]
+                if int(terms[t]["docs"][ptr[t]]) < pivot_doc
+            ]
+            lag = max(lagging, key=lambda t: ub[t])
+            ptr[lag] = int(np.searchsorted(terms[lag]["docs"], pivot_doc))
+
+    if not results:
+        return [], []
+    uniq = np.array(list(results.keys()), dtype=np.int64)
+    acc = np.array(list(results.values()))
+    order = np.lexsort((uniq, -acc))[:k]
+    return uniq[order].tolist(), acc[order].tolist()
+
+
+def _make_scorer(n_docs, avgdl, k, k1, b, use_wand):
+    def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (query_id,) = key
+        terms = []
+        for term, g in pdf.groupby("term", sort=True):
+            df_total = int(g["df_part"].sum())
+            idf = float(np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5)))
+            parts = [
+                decode_posting_list(
+                    r.doc_stream, r.tf_stream, int(r.df_part), r.dl_stream
+                )
+                for r in g.itertuples()
+            ]
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            order = np.argsort(docs, kind="stable")  # salt re-merge
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            last_doc, max_tf, min_dl = block_meta(docs, tfs, dls, 128)
+            terms.append(
+                {
+                    "docs": docs,
+                    "tfs": tfs,
+                    "dls": dls,
+                    "idf": idf,
+                    "scores": _bm25_vec(tfs, dls, idf, k1, b, avgdl),
+                    "block_last_doc": last_doc,
+                    "block_max_tf": max_tf,
+                    "block_min_dl": min_dl,
+                }
+            )
+        if use_wand:
+            doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
+        else:
+            doc_ids, scores = _exact_topk(terms, k)
+        return pd.DataFrame(
+            {
+                "query_id": [query_id] * len(doc_ids),
+                "doc_id": doc_ids,
+                "score": scores,
+            }
+        )
+
+    return scorer
+
+
+def bm25_topk_segments(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    use_wand: bool = True,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) from the compressed segment index."""
+    stats = load_stats(index_dir)
+    qt = query_terms(queries)
+    term_rows = qt.select("term").distinct().collect()
+    terms = [r["term"] for r in term_rows]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
+        )
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = [
+        r["bucket"]
+        for r in tdf.select(
+            _bucket_col(F.col("term"), stats["term_buckets"]).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    ]
+    seg = (
+        spark.read.parquet(f"{index_dir}/segments")
+        .filter(F.col("bucket").isin(buckets))  # partition pruning
+        .filter(F.col("term").isin(terms))  # row-group pruning on term
+    )
+    joined = seg.join(F.broadcast(qt), "term")
+    scorer = _make_scorer(
+        stats["n_docs"], stats["avgdl"], k, k1, b, use_wand
+    )
+    scored = joined.groupBy("query_id").applyInPandas(
+        scorer, "query_id string, doc_id long, score double"
+    )
+    return topk_window(scored, k)

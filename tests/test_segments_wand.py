@@ -1,0 +1,197 @@
+"""Compressed segment build + WAND query: correctness vs the naive spine,
+salting behavior, resumability (SURVEY.md §5 items 2, 3, 6, 7)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickb_spark.chunking import chunk_documents
+from quickb_spark.config import EngineConfig, IndexConfig
+from quickb_spark.corpus import fixture_queries, generate_documents_df
+from quickb_spark.index.encode import decode_posting_list
+from quickb_spark.index.segments import (
+    build_index,
+    flat_postings_with_dl,
+    load_stats,
+    segments_meta,
+)
+from quickb_spark.query.wand import _exact_topk, _wand_topk, bm25_topk_segments
+from tests.oracle_bm25 import OracleIndex
+
+N_DOCS = 250
+
+# tiny hot threshold so the fixture corpus actually triggers salting
+CFG = EngineConfig(
+    index=IndexConfig(
+        hot_term_doc_fraction=0.2,
+        hot_term_min_df=50,
+        salt_buckets=4,
+        block_size=32,
+        term_buckets=16,
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("index"))
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    docs = generate_documents_df(spark, N_DOCS, seed=42, partitions=4)
+    return chunk_documents(docs, CFG).cache()
+
+
+@pytest.fixture(scope="module")
+def built(spark, chunks, index_dir):
+    build_index(spark, chunks, index_dir, CFG, wave_size=16)
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def oracle(chunks):
+    rows = chunks.select("doc_id", "text").collect()
+    return OracleIndex([(r["doc_id"], r["text"]) for r in rows])
+
+
+def test_stats_match_oracle(built, oracle):
+    stats = load_stats(built)
+    assert stats["n_docs"] == oracle.n_docs
+    assert abs(stats["avgdl"] - oracle.avgdl) < 1e-9
+
+
+def test_segments_decode_to_oracle_postings(spark, built, oracle):
+    seg = spark.read.parquet(f"{built}/segments").collect()
+    got: dict[str, dict[int, int]] = {}
+    salts: dict[str, int] = {}
+    for r in seg:
+        docs, tfs = decode_posting_list(r["doc_stream"], r["tf_stream"], r["df_part"])
+        plist = got.setdefault(r["term"], {})
+        for d, tf in zip(docs.tolist(), tfs.tolist()):
+            assert d not in plist, "salted sub-lists must be disjoint"
+            plist[d] = tf
+        salts[r["term"]] = max(salts.get(r["term"], 0), r["salt"])
+    expected = {
+        t: {d: len(p) for d, p in pl.items()} for t, pl in oracle.postings.items()
+    }
+    assert got == expected
+    # skew test: `def` (in most python docs) must actually have been salted
+    assert salts.get("def", 0) > 0, f"hot term not salted (salts: def={salts.get('def')})"
+    assert salts.get("zzz", -1) in (-1, 0)
+
+
+def test_wand_matches_naive_and_oracle(spark, built, oracle):
+    queries = fixture_queries()
+    qdf = spark.createDataFrame(queries, ["query_id", "query_text"])
+    wand = bm25_topk_segments(spark, built, qdf, k=10, use_wand=True).collect()
+    naive = bm25_topk_segments(spark, built, qdf, k=10, use_wand=False).collect()
+
+    def by_q(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+        return {q: sorted(v) for q, v in out.items()}
+
+    wq, nq = by_q(wand), by_q(naive)
+    assert set(wq) == set(nq)
+    for q in nq:
+        assert [(r, d) for r, d, _ in wq[q]] == [(r, d) for r, d, _ in nq[q]], q
+        for (_, _, sa), (_, _, sb) in zip(wq[q], nq[q]):
+            assert abs(sa - sb) < 1e-9
+
+    hits = 0
+    for qid, qtext in queries:
+        expected = oracle.topk(qtext, k=10)
+        actual = sorted(wq.get(qid, []))
+        assert [(r, d) for r, d, _ in actual] == [(r, d) for r, d, _ in expected], (
+            qid, qtext,
+        )
+        for (_, _, sa), (_, _, se) in zip(actual, expected):
+            assert abs(sa - se) < 1e-6
+        hits += bool(expected)
+    assert hits >= 40
+
+
+def test_wand_prunes(built):
+    # synthetic check that the WAND path actually skips: one strong rare
+    # term + one weak common term; common-term tail must not all be scored
+    rng = np.random.RandomState(0)
+    common_docs = np.arange(0, 100_000, dtype=np.int64)
+    rare_docs = np.arange(0, 100_000, 1000, dtype=np.int64)
+
+    def mk(docs, tf, idf):
+        tfs = np.full(len(docs), tf, dtype=np.int64)
+        dls = np.full(len(docs), 100, dtype=np.int64)
+        from quickb_spark.index.encode import block_meta
+
+        last, mtf, mdl = block_meta(docs, tfs, dls, 128)
+        return {
+            "docs": docs,
+            "tfs": tfs,
+            "dls": dls,
+            "idf": idf,
+            "scores": idf * tfs * 2.2 / (tfs + 1.2),
+            "block_last_doc": last,
+            "block_max_tf": mtf,
+            "block_min_dl": mdl,
+        }
+
+    terms = [mk(common_docs, 1, 0.01), mk(rare_docs, 5, 5.0)]
+    ids_w, sc_w = _wand_topk(terms, 10, 1.2, 0.75, 100.0)
+    ids_e, sc_e = _exact_topk(terms, 10)
+    assert ids_w == ids_e
+    assert np.allclose(sc_w, sc_e)
+
+
+def test_resume_skips_done_buckets(spark, chunks, tmp_path):
+    idx = str(tmp_path / "resume_idx")
+    cfg = CFG
+    build_index(spark, chunks, idx, cfg, wave_size=4)
+    metas_before = {}
+    for b in range(cfg.index.term_buckets):
+        p = os.path.join(idx, "meta", f"bucket_{b:05d}.json")
+        with open(p) as f:
+            metas_before[b] = json.load(f)
+
+    # simulate a crash: remove meta (and data) for 3 buckets, keep the rest
+    killed = [2, 5, 11]
+    for b in killed:
+        os.remove(os.path.join(idx, "meta", f"bucket_{b:05d}.json"))
+        shutil.rmtree(os.path.join(idx, "segments", f"bucket={b}"), ignore_errors=True)
+
+    build_index(spark, chunks, idx, cfg, wave_size=4)  # resume
+
+    for b in range(cfg.index.term_buckets):
+        p = os.path.join(idx, "meta", f"bucket_{b:05d}.json")
+        with open(p) as f:
+            meta = json.load(f)
+        if b in killed:
+            assert meta["committed_at"] > metas_before[b]["committed_at"]
+        else:
+            # finished partitions were NOT recomputed
+            assert meta["committed_at"] == metas_before[b]["committed_at"]
+            assert meta["build_time_ms"] == metas_before[b]["build_time_ms"]
+
+    # resumed index is identical to a fresh one
+    qdf = spark.createDataFrame(fixture_queries()[:10], ["query_id", "query_text"])
+    fresh = str(tmp_path / "fresh_idx")
+    build_index(spark, chunks, fresh, cfg, wave_size=16)
+    a = sorted(map(tuple, bm25_topk_segments(spark, idx, qdf, k=10).collect()))
+    b_ = sorted(map(tuple, bm25_topk_segments(spark, fresh, qdf, k=10).collect()))
+    assert a == b_
+
+
+def test_segments_meta_table(spark, built):
+    meta = segments_meta(spark, built)
+    assert meta.count() == CFG.index.term_buckets
+    assert meta.filter(F.col("status") != "done").count() == 0
+    total = meta.agg(F.sum("posting_count")).collect()[0][0]
+    flat_rows = spark.read.parquet(f"{built}/flat").count()
+    assert total == flat_rows

@@ -1,0 +1,55 @@
+"""Pure-Python fuzz: block-max WAND must be bit-identical to the exhaustive
+scorer on random posting sets (lossless pruning — SURVEY.md §7 hard part b)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quickb_spark.index.encode import block_meta
+from quickb_spark.query.wand import _exact_topk, _wand_topk
+
+
+def _mk_term(rng, n_corpus, df, big_ids=False):
+    if big_ids:
+        # 63-bit ids: regression for the float64-rounded skip target that
+        # turned the block skip into a no-op (infinite loop)
+        docs = np.unique(
+            rng.randint(0, 2**63 - 1, size=df, dtype=np.int64)
+            | (np.int64(1) << 62)
+        )
+        df = len(docs)
+    else:
+        docs = np.sort(rng.permutation(n_corpus)[:df]).astype(np.int64)
+    tfs = rng.randint(1, 6, size=df).astype(np.int64)
+    dls = rng.randint(10, 500, size=df).astype(np.int64)
+    idf = float(np.log(1 + (n_corpus - df + 0.5) / (df + 0.5)))
+    last, mtf, mdl = block_meta(docs, tfs, dls, 32)
+    scores = idf * tfs * 2.2 / (tfs + 1.2 * (0.25 + 0.75 * dls / 100.0))
+    return {
+        "docs": docs, "tfs": tfs, "dls": dls, "idf": idf, "scores": scores,
+        "block_last_doc": last, "block_max_tf": mtf, "block_min_dl": mdl,
+    }
+
+
+def test_wand_equals_exact_fuzz():
+    for trial in range(80):
+        rng = np.random.RandomState(trial)
+        n = int(rng.choice([50, 500, 3000]))
+        big = trial % 2 == 1
+        terms = [
+            _mk_term(rng, n, rng.randint(1, n + 1), big_ids=big)
+            for _ in range(rng.randint(1, 6))
+        ]
+        for k in (1, 3, 10):
+            iw, sw = _wand_topk(terms, k, 1.2, 0.75, 100.0)
+            ie, se = _exact_topk(terms, k)
+            assert iw == ie, (trial, k)
+            assert np.allclose(sw, se, atol=1e-12)
+
+
+def test_wand_empty_and_single():
+    assert _wand_topk([], 10, 1.2, 0.75, 100.0) == ([], [])
+    rng = np.random.RandomState(0)
+    t = _mk_term(rng, 100, 1)
+    ids, sc = _wand_topk([t], 10, 1.2, 0.75, 100.0)
+    assert ids == t["docs"].tolist()
