@@ -1,0 +1,113 @@
+"""Subprocess worker for the scaling bench: one parallelism level per process.
+
+Builds the full compressed index (chunk → tokenize → salted shuffle →
+varbyte segments) over a corpus parquet and runs the BM25/WAND query batch.
+Prints one JSON line. Invoked by bench/scaling.py as
+
+    python bench/_scale_worker.py <cpus> <corpus_parquet> <work_dir>
+
+The timed window covers the index-build job and the query batch only —
+session startup, corpus generation, and JVM warm-up are excluded
+(SURVEY.md §7 hard part d).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main(cpus: int, corpus_path: str, work_dir: str) -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"quickb-scale-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from quickb_spark.chunking import chunk_documents
+    from quickb_spark.config import EngineConfig, IndexConfig
+    from quickb_spark.corpus import fixture_queries
+    from quickb_spark.index.segments import build_index
+    from quickb_spark.query.wand import bm25_topk_segments
+
+    cfg = EngineConfig(
+        index=IndexConfig(
+            hot_term_doc_fraction=0.05,
+            hot_term_min_df=500,
+            salt_buckets=16,
+            term_buckets=64,
+        )
+    )
+
+    # Spread the corpus across all cores before the Python UDF stages: tiny
+    # parquet files coalesce to a handful of scan partitions (maxPartitionBytes
+    # + openCost), which would cap chunk/tokenize parallelism regardless of
+    # executor count. At real scale the input files are large enough that the
+    # scan parallelizes by itself.
+    docs = spark.read.parquet(corpus_path).repartition(cpus * 4)
+    n_files = docs.count()  # also warms the JVM + scan
+
+    # warm the Python worker pool across ALL task slots (each worker pays a
+    # one-time fork + numpy/pandas import; a 1-partition warmup warms 1 slot)
+    from quickb_spark.index.flatten import flat_postings_from_documents
+
+    flat_postings_from_documents(
+        docs.limit(cpus * 8).repartition(cpus), cfg
+    ).count()
+
+    idx = os.path.join(work_dir, f"index_{cpus}")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    build_index(spark, index_dir=idx, cfg=cfg, wave_size=64, documents=docs)
+    build_sec = time.perf_counter() - t0
+
+    qdf = spark.createDataFrame(fixture_queries(), ["query_id", "query_text"])
+    t0 = time.perf_counter()
+    n_results = bm25_topk_segments(spark, idx, qdf, k=10).count()
+    query_batch_sec = time.perf_counter() - t0
+
+    # p50 single-query latency over 12 queries, one job each (warm index)
+    lat = []
+    for qid, qtext in fixture_queries()[:12]:
+        q1 = spark.createDataFrame([(qid, qtext)], ["query_id", "query_text"])
+        t0 = time.perf_counter()
+        bm25_topk_segments(spark, idx, q1, k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_files": n_files,
+                "build_sec": round(build_sec, 2),
+                "files_per_sec": round(n_files / build_sec, 1),
+                "query_batch_sec": round(query_batch_sec, 2),
+                "n_results": n_results,
+                "query_p50_sec": round(p50, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), sys.argv[2], sys.argv[3])

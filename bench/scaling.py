@@ -1,0 +1,117 @@
+"""Two-parallelism scaling bench (north rule's N vs 4N cluster-size proxy).
+
+Runs the identical index-build + query job at local[N] and local[4N] on the
+same deterministic synthetic corpus (BASELINE.json input_hint shape) in
+separate JVM processes, then reports throughput at both levels and
+
+    scaling efficiency = (throughput_4N / throughput_N) / 4
+
+into BENCH/BASELINE.md. Usage:
+
+    python bench/scaling.py [--docs 20000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def gen_corpus(path: str, n_docs: int) -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    from quickb_spark.corpus import generate_documents_df
+
+    generate_documents_df(spark, n_docs, seed=42, partitions=256).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+
+
+def run_level(cpus: int, corpus: str, work: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench", "_scale_worker.py"),
+         str(cpus), corpus, work],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"worker cpus={cpus} failed")
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--trials", type=int, default=2, help="best-of-N per level (variance guard)")
+    ap.add_argument("--n", type=int, default=8, help="base parallelism N (4N run included)")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="qkb_scaling_")
+    corpus = os.path.join(work, "corpus")
+    print(f"generating {args.docs} docs corpus ...", flush=True)
+    gen_corpus(corpus, args.docs)
+
+    results = {}
+    for cpus in (args.n, args.n * 4):
+        best = None
+        for trial in range(args.trials):
+            print(f"running level local[{cpus}] trial {trial + 1}/{args.trials} ...", flush=True)
+            r = run_level(cpus, corpus, work)
+            print("  ", r, flush=True)
+            if best is None or r["build_sec"] < best["build_sec"]:
+                best = r
+        results[cpus] = best
+
+    lo, hi = results[args.n], results[args.n * 4]
+    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})
+
+Same job (full compressed index build: chunk -> tokenize -> salted shuffle ->
+delta+varbyte segments; then BM25/WAND query batch) on the same deterministic
+synthetic corpus ({args.docs} source files, BASELINE.json input_hint schema,
+seed 42), run in separate JVMs at two parallelism levels — the sandbox proxy
+for N vs 4N executors per the driver's round instructions.
+
+| level | files | build sec | files/sec | 50-query batch sec | query p50 sec |
+|---|---|---|---|---|---|
+| local[{args.n}] (N) | {lo['n_files']} | {lo['build_sec']} | {lo['files_per_sec']} | {lo['query_batch_sec']} | {lo['query_p50_sec']} |
+| local[{args.n * 4}] (4N) | {hi['n_files']} | {hi['build_sec']} | {hi['files_per_sec']} | {hi['query_batch_sec']} | {hi['query_p50_sec']} |
+
+**Indexing-throughput scaling efficiency (N -> 4N): {eff:.3f}**
+(north rule target: >= 0.8)
+
+Timed window covers the build job and query jobs only; session startup, JVM
+warm-up, and corpus generation are excluded. Raw worker JSON:
+
+```json
+{json.dumps(lo)}
+{json.dumps(hi)}
+```
+"""
+        )
+    print(f"efficiency: {eff:.3f} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

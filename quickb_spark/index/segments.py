@@ -52,9 +52,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
+import numpy as np
+
 from quickb_spark.config import EngineConfig
 from quickb_spark.functions.tokenize import term_frequencies_udf
 from quickb_spark.index.encode import encode_posting_list
+from quickb_spark.index.flatten import flat_postings_from_documents
 
 __all__ = ["build_index", "segments_meta", "load_stats", "SEGMENT_SCHEMA"]
 
@@ -109,38 +112,74 @@ def _hot_terms(flat: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
     )
 
 
-def _encoder(cfg: EngineConfig):
+def _partition_encoder(cfg: EngineConfig):
+    """mapInPandas encoder over partitions pre-sorted by (term, salt, doc_id).
+
+    groupBy().applyInPandas() pays per-group Arrow + pandas overhead (~ms per
+    group — ruinous with millions of terms). Here the shuffle is a plain
+    repartition on (term, salt) followed by a partition-local sort, and the
+    encoder walks each partition once, slicing groups with NumPy and carrying
+    the (possibly split) tail group across Arrow batch boundaries.
+    """
     block_size = cfg.index.block_size
     store_pos = cfg.index.store_positions
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, salt = key
+    def _emit(pdf: pd.DataFrame, lo: int, hi: int) -> dict:
+        doc_ids = pdf["doc_id"].to_numpy()[lo:hi]
+        tfs = pdf["tf"].to_numpy()[lo:hi]
+        dls = pdf["doc_len"].to_numpy()[lo:hi]
         enc = encode_posting_list(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doc_len"].to_numpy(),
-            positions=list(pdf["positions"]) if store_pos else None,
+            doc_ids,
+            tfs,
+            dls,
+            positions=list(pdf["positions"].iloc[lo:hi]) if store_pos else None,
             block_size=block_size,
         )
-        return pd.DataFrame(
-            [
-                {
-                    "term": term,
-                    "salt": int(salt),
-                    "df_part": enc["n_docs"],
-                    "cf_part": int(pdf["tf"].sum()),
-                    "doc_stream": enc["doc_stream"],
-                    "tf_stream": enc["tf_stream"],
-                    "dl_stream": enc["dl_stream"],
-                    "pos_stream": enc["pos_stream"],
-                    "block_last_doc": enc["block_last_doc"],
-                    "block_max_tf": enc["block_max_tf"],
-                    "block_min_dl": enc["block_min_dl"],
-                }
-            ]
-        )
+        return {
+            "term": pdf["term"].iat[lo],
+            "salt": int(pdf["salt"].iat[lo]),
+            "df_part": enc["n_docs"],
+            "cf_part": int(tfs.sum()),
+            "doc_stream": enc["doc_stream"],
+            "tf_stream": enc["tf_stream"],
+            "dl_stream": enc["dl_stream"],
+            "pos_stream": enc["pos_stream"],
+            "block_last_doc": enc["block_last_doc"],
+            "block_max_tf": enc["block_max_tf"],
+            "block_min_dl": enc["block_min_dl"],
+        }
 
-    return encode_group
+    def encode_partition(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            keys = (pdf["term"] + "\x00" + pdf["salt"].astype(str)).to_numpy()
+            # hold back the trailing group — it may continue in the next batch
+            not_last = keys != keys[-1]
+            tail_start = int(not_last.nonzero()[0].max()) + 1 if not_last.any() else 0
+            carry = pdf.iloc[tail_start:].reset_index(drop=True)
+            if tail_start == 0:
+                continue
+            head_keys = keys[:tail_start]
+            bounds = np.flatnonzero(head_keys[1:] != head_keys[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [tail_start]))
+            out = [_emit(pdf, int(lo), int(hi)) for lo, hi in zip(starts, ends)]
+            yield pd.DataFrame(out)
+        if carry is not None and len(carry):
+            keys = (carry["term"] + "\x00" + carry["salt"].astype(str)).to_numpy()
+            bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(carry)]))
+            yield pd.DataFrame(
+                [_emit(carry, int(lo), int(hi)) for lo, hi in zip(starts, ends)]
+            )
+
+    return encode_partition
 
 
 def _meta_path(index_dir: str, bucket: int) -> str:
@@ -149,56 +188,81 @@ def _meta_path(index_dir: str, bucket: int) -> str:
 
 def build_index(
     spark: SparkSession,
-    chunks: DataFrame,
-    index_dir: str,
+    chunks: DataFrame | None = None,
+    index_dir: str = "",
     cfg: EngineConfig | None = None,
     wave_size: int = 64,
+    documents: DataFrame | None = None,
 ) -> None:
-    """Build (or resume) the compressed index for a chunks DataFrame."""
+    """Build (or resume) the compressed index.
+
+    Input is either a pre-chunked `chunks` DataFrame or, preferably, the raw
+    `documents` table — the documents path uses the fused chunk+tokenize
+    kernel (index/flatten.py), halving JVM<->Python crossings; both mint
+    identical doc_ids.
+    """
+    if (chunks is None) == (documents is None):
+        raise ValueError("pass exactly one of chunks= or documents=")
     cfg = cfg or EngineConfig()
     nb = cfg.index.term_buckets
+    _dbg = os.environ.get("QKB_BUILD_TIMING") == "1"
+    _t0 = time.perf_counter()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _dbg:
+            now = time.perf_counter()
+            print(f"[build_index] {label}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
     os.makedirs(os.path.join(index_dir, "meta"), exist_ok=True)
     flat_dir = os.path.join(index_dir, "flat")
     stats_path = os.path.join(index_dir, "meta", "stats.json")
 
-    # ---- phase 0+1: one tokenize pass, persisted; THE shuffle ------------
+    # ---- phase 1: one tokenize pass straight into the bucketed checkpoint
+    # (bucket = f(term) only, so salting can be applied lazily in phase 2;
+    # no .persist() — the checkpoint parquet IS the reuse point, which also
+    # holds at 100 TB where executor memory could never cache the postings)
     if not os.path.exists(os.path.join(flat_dir, "_SUCCESS")):
-        from pyspark import StorageLevel
+        flat = (
+            flat_postings_from_documents(documents, cfg)
+            if documents is not None
+            else flat_postings_with_dl(chunks)
+        )
+        (
+            flat.withColumn("bucket", _bucket_col(F.col("term"), nb))
+            .repartition(nb, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(flat_dir)
+        )
 
-        flat = flat_postings_with_dl(chunks).persist(StorageLevel.MEMORY_AND_DISK)
-        doc_stats = flat.select("doc_id", "doc_len").distinct()
-        doc_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats"))
+    _mark("phase1 flat checkpoint")
+
+    # ---- phase 1b: corpus stats from the columnar checkpoint (JVM scans,
+    # no Python) ------------------------------------------------------------
+    if not os.path.exists(stats_path):
+        flat_r = spark.read.parquet(flat_dir)
+        flat_r.select("doc_id", "doc_len").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "doc_stats"))
         row = (
             spark.read.parquet(os.path.join(index_dir, "doc_stats"))
             .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
             .collect()[0]
         )
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-        # At 100 TB, df stats would come from a sampled or incremental stats
-        # table instead of a second aggregate over the persisted postings.
-        hot = _hot_terms(flat, n_docs, cfg)
-        salted = (
-            flat.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("_hot").isNotNull(),
-                    F.pmod(F.xxhash64("doc_id"), F.lit(cfg.index.salt_buckets)).cast(
-                        "int"
-                    ),
-                ).otherwise(F.lit(0)),
+        hot_rows = _hot_terms(flat_r, n_docs, cfg).collect()
+        # per-bucket lineage metrics now, from the checkpoint, in one job —
+        # phase 2 then commits metas without re-reading what it just wrote
+        bucket_rows = (
+            flat_r.groupBy("bucket")
+            .agg(
+                F.countDistinct("term").alias("terms"),
+                F.count(F.lit(1)).alias("postings"),
             )
-            .drop("_hot")
+            .collect()
         )
-        (
-            salted.withColumn("bucket", _bucket_col(F.col("term"), nb))
-            .repartition(nb, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(flat_dir)
-        )
-        flat.unpersist()
-        with open(stats_path, "w") as f:
+        with open(stats_path + ".tmp", "w") as f:
             json.dump(
                 {
                     "n_docs": n_docs,
@@ -206,23 +270,48 @@ def build_index(
                     "term_buckets": nb,
                     "salt_buckets": cfg.index.salt_buckets,
                     "block_size": cfg.index.block_size,
+                    "hot_terms": sorted(r["term"] for r in hot_rows),
+                    "bucket_stats": {
+                        str(r["bucket"]): [int(r["terms"]), int(r["postings"])]
+                        for r in bucket_rows
+                    },
                 },
                 f,
             )
+        os.replace(stats_path + ".tmp", stats_path)
+
+    _mark("phase1b stats")
+
+    with open(stats_path) as f:
+        _stats = json.load(f)
+    hot_terms = set(_stats["hot_terms"])
+    bucket_stats = {int(k): v for k, v in _stats.get("bucket_stats", {}).items()}
 
     # ---- phase 2: per-bucket-wave encode, idempotent, resumable ----------
     pending = [b for b in range(nb) if not os.path.exists(_meta_path(index_dir, b))]
     flat_all = spark.read.parquet(flat_dir)
-    encoder = _encoder(cfg)
+    encoder = _partition_encoder(cfg)
     segments_dir = os.path.join(index_dir, "segments")
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     for wave_start in range(0, len(pending), wave_size):
         wave = pending[wave_start : wave_start + wave_size]
         t0 = time.perf_counter()
+        wave_flat = flat_all.filter(F.col("bucket").isin(wave)).withColumn(
+            "salt",
+            F.when(
+                F.col("term").isin(list(hot_terms)) if hot_terms else F.lit(False),
+                F.pmod(F.xxhash64("doc_id"), F.lit(cfg.index.salt_buckets)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
         seg = (
-            flat_all.filter(F.col("bucket").isin(wave))
-            .groupBy("term", "salt")
-            .applyInPandas(encoder, SEGMENT_SCHEMA)
+            wave_flat.repartition(shuffle_parts, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(encoder, SEGMENT_SCHEMA)
             .withColumn("bucket", _bucket_col(F.col("term"), nb))
+            # one output file per bucket dir: without this, every writer task
+            # emits a sliver into every bucket (tasks x buckets tiny files)
+            # and all later scans pay the listing + footer cost
+            .repartition(len(wave), "bucket")
         )
         # dynamic partition overwrite: only this wave's bucket dirs are
         # replaced, finished buckets are untouched -> idempotent re-runs
@@ -232,25 +321,17 @@ def build_index(
             .partitionBy("bucket")
             .parquet(segments_dir)
         )
+        _mark(f"phase2 encode wave {wave[0]}-{wave[-1]}")
         build_ms = int((time.perf_counter() - t0) * 1000 / max(len(wave), 1))
         for b in wave:
-            bdir = os.path.join(segments_dir, f"bucket={b}")
-            if os.path.isdir(bdir):
-                seg_b = spark.read.parquet(bdir)
-                stats = seg_b.agg(
-                    F.countDistinct("term").alias("terms"),
-                    F.coalesce(F.sum("df_part"), F.lit(0)).alias("postings"),
-                    F.coalesce(F.max("salt"), F.lit(0)).alias("max_salt"),
-                ).collect()[0]
-            else:  # bucket hashed no terms at all
-                stats = {"terms": 0, "postings": 0, "max_salt": 0}
+            terms_n, postings_n = bucket_stats.get(b, (0, 0))
             meta = {
                 "segment_id": f"seg-{b:05d}",
                 "partition_id": b,
-                "salt": int(stats["max_salt"]),
-                "term_count": int(stats["terms"]),
-                "posting_count": int(stats["postings"]),
-                "input_rows": int(stats["postings"]),
+                "salt": cfg.index.salt_buckets if hot_terms else 0,
+                "term_count": int(terms_n),
+                "posting_count": int(postings_n),
+                "input_rows": int(postings_n),
                 "build_time_ms": build_ms,
                 "checkpoint_path": f"segments/bucket={b}",
                 "status": "done",
@@ -260,6 +341,7 @@ def build_index(
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, _meta_path(index_dir, b))  # atomic commit
+        _mark("phase2 meta commits")
 
 
 def segments_meta(spark: SparkSession, index_dir: str) -> DataFrame:

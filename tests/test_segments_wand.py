@@ -44,14 +44,21 @@ def index_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
-def chunks(spark):
-    docs = generate_documents_df(spark, N_DOCS, seed=42, partitions=4)
+def docs(spark):
+    return generate_documents_df(spark, N_DOCS, seed=42, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def chunks(spark, docs):
     return chunk_documents(docs, CFG).cache()
 
 
 @pytest.fixture(scope="module")
-def built(spark, chunks, index_dir):
-    build_index(spark, chunks, index_dir, CFG, wave_size=16)
+def built(spark, docs, index_dir):
+    # documents path (fused chunk+tokenize kernel); the oracle below is
+    # derived from the two-step chunks path, so every comparison doubles as
+    # an id/posting parity check between the two input paths
+    build_index(spark, index_dir=index_dir, cfg=CFG, wave_size=16, documents=docs)
     return index_dir
 
 
