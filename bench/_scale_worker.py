@@ -35,7 +35,7 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

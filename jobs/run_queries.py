@@ -1,0 +1,48 @@
+"""spark-submit entry point: serve BM25 top-k queries from a built index.
+
+    spark-submit --py-files quickb_spark.zip jobs/run_queries.py \\
+      --index-dir <index root> \\
+      --queries <parquet/csv with (query_id, query_text)> \\
+      [--k 10] [--output <parquet dir>] [--no-wand]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--no-wand", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from quickb_spark.query.wand import bm25_topk_segments
+
+    spark = SparkSession.builder.appName("quickb-run-queries").getOrCreate()
+    if args.queries.endswith(".csv"):
+        queries = spark.read.option("header", "true").csv(args.queries)
+    else:
+        queries = spark.read.parquet(args.queries)
+
+    result = bm25_topk_segments(
+        spark, args.index_dir, queries, k=args.k, use_wand=not args.no_wand
+    )
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+    else:
+        result.orderBy("query_id", "rank").show(100, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -147,22 +147,19 @@ def encode_posting_list(
     tf_stream = varbyte_encode(tfs.astype(np.uint64))
     dl_stream = varbyte_encode(dls.astype(np.uint64))
     pos_stream = b""
-    if positions is not None:
-        # per-doc delta-encoded positions; lengths are the tf values
-        chunks = []
-        for i in np.asarray(order):
-            p = np.asarray(positions[i], dtype=np.int64)
-            d = np.empty_like(p)
-            if len(p):
-                d[0] = p[0]
-                np.subtract(p[1:], p[:-1], out=d[1:])
-            chunks.append(d)
-        if chunks:
-            pos_stream = varbyte_encode(
-                np.concatenate(chunks).view(np.uint64)
-                if chunks
-                else np.empty(0, dtype=np.uint64)
-            )
+    if positions is not None and len(doc_ids):
+        # per-doc delta-encoded positions, vectorized: one global diff with
+        # absolute resets at each doc boundary (lengths are the tf values)
+        flat = np.concatenate(
+            [np.asarray(positions[i], dtype=np.int64) for i in np.asarray(order)]
+        ) if len(order) else np.empty(0, dtype=np.int64)
+        if len(flat):
+            deltas = np.empty_like(flat)
+            deltas[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+            starts = np.cumsum(tfs)[:-1]
+            deltas[starts] = flat[starts]
+            pos_stream = varbyte_encode(deltas.view(np.uint64))
     last_doc, max_tf, min_dl = block_meta(doc_ids, tfs, dls, block_size)
     return {
         "n_docs": int(len(doc_ids)),

@@ -41,6 +41,10 @@ _FLAT_SCHEMA = ArrayType(
             StructField("term", StringType()),
             StructField("tf", IntegerType()),
             StructField("positions", ArrayType(IntegerType())),
+            # marks each chunk-document's first posting row, so doc-level
+            # stats are a filter over the checkpoint instead of a
+            # distinct-shuffle over all postings
+            StructField("first", IntegerType()),
         ]
     )
 )
@@ -59,8 +63,8 @@ def _fused_udf(cfg: ChunkerConfig):
                     for i, t in enumerate(toks):
                         pos[t].append(i)
                     dl = len(toks)
-                    for t, p in pos.items():
-                        rows.append((ci, dl, t, len(p), p))
+                    for j, (t, p) in enumerate(pos.items()):
+                        rows.append((ci, dl, t, len(p), p, 1 if j == 0 else 0))
             out.append(rows)
         return pd.Series(out)
 
@@ -85,4 +89,5 @@ def flat_postings_from_documents(
         F.col("p.tf").alias("tf"),
         F.col("p.positions").alias("positions"),
         F.col("p.doc_len").cast("long").alias("doc_len"),
+        F.col("p.first").alias("first"),
     )

@@ -86,8 +86,10 @@ def flat_postings_with_dl(chunks: DataFrame, text_col: str = "text") -> DataFram
         "doc_id", term_frequencies_udf(F.col(text_col)).alias("tfs")
     ).select(
         "doc_id",
-        F.aggregate("tfs", F.lit(0), lambda acc, s: acc + s["tf"]).alias("doc_len"),
-        F.explode("tfs").alias("p"),
+        F.aggregate("tfs", F.lit(0), lambda acc, s: acc + s["tf"])
+        .cast("long")
+        .alias("doc_len"),
+        F.posexplode("tfs").alias("_tpos", "p"),
     )
     return per_doc.select(
         F.col("p.term").alias("term"),
@@ -95,6 +97,7 @@ def flat_postings_with_dl(chunks: DataFrame, text_col: str = "text") -> DataFram
         F.col("p.tf").alias("tf"),
         F.col("p.positions").alias("positions"),
         "doc_len",
+        F.when(F.col("_tpos") == 0, F.lit(1)).otherwise(F.lit(0)).alias("first"),
     )
 
 
@@ -149,6 +152,11 @@ def _partition_encoder(cfg: EngineConfig):
             "block_min_dl": enc["block_min_dl"],
         }
 
+    def _bounds(term_arr: np.ndarray, salt_arr: np.ndarray) -> np.ndarray:
+        # group-change positions without materializing per-row string keys
+        change = (term_arr[1:] != term_arr[:-1]) | (salt_arr[1:] != salt_arr[:-1])
+        return np.flatnonzero(change) + 1
+
     def encode_partition(batches):
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -157,22 +165,24 @@ def _partition_encoder(cfg: EngineConfig):
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
-            keys = (pdf["term"] + "\x00" + pdf["salt"].astype(str)).to_numpy()
+            terms_a = pdf["term"].to_numpy()
+            salts_a = pdf["salt"].to_numpy()
             # hold back the trailing group — it may continue in the next batch
-            not_last = keys != keys[-1]
+            not_last = (terms_a != terms_a[-1]) | (salts_a != salts_a[-1])
             tail_start = int(not_last.nonzero()[0].max()) + 1 if not_last.any() else 0
             carry = pdf.iloc[tail_start:].reset_index(drop=True)
             if tail_start == 0:
                 continue
-            head_keys = keys[:tail_start]
-            bounds = np.flatnonzero(head_keys[1:] != head_keys[:-1]) + 1
+            bounds = _bounds(terms_a[:tail_start], salts_a[:tail_start])
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [tail_start]))
-            out = [_emit(pdf, int(lo), int(hi)) for lo, hi in zip(starts, ends)]
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                [_emit(pdf, int(lo), int(hi)) for lo, hi in zip(starts, ends)]
+            )
         if carry is not None and len(carry):
-            keys = (carry["term"] + "\x00" + carry["salt"].astype(str)).to_numpy()
-            bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            terms_a = carry["term"].to_numpy()
+            salts_a = carry["salt"].to_numpy()
+            bounds = _bounds(terms_a, salts_a)
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [len(carry)]))
             yield pd.DataFrame(
@@ -201,8 +211,8 @@ def build_index(
     kernel (index/flatten.py), halving JVM<->Python crossings; both mint
     identical doc_ids.
     """
-    if (chunks is None) == (documents is None):
-        raise ValueError("pass exactly one of chunks= or documents=")
+    if chunks is not None and documents is not None:
+        raise ValueError("pass at most one of chunks= or documents=")
     cfg = cfg or EngineConfig()
     nb = cfg.index.term_buckets
     _dbg = os.environ.get("QKB_BUILD_TIMING") == "1"
@@ -223,6 +233,11 @@ def build_index(
     # no .persist() — the checkpoint parquet IS the reuse point, which also
     # holds at 100 TB where executor memory could never cache the postings)
     if not os.path.exists(os.path.join(flat_dir, "_SUCCESS")):
+        if chunks is None and documents is None:
+            raise ValueError(
+                "no input DataFrame and no existing flat checkpoint at "
+                f"{flat_dir} — pass chunks= or documents="
+            )
         flat = (
             flat_postings_from_documents(documents, cfg)
             if documents is not None
@@ -242,7 +257,9 @@ def build_index(
     # no Python) ------------------------------------------------------------
     if not os.path.exists(stats_path):
         flat_r = spark.read.parquet(flat_dir)
-        flat_r.select("doc_id", "doc_len").distinct().write.mode(
+        # doc-level stats via the `first` marker: a narrow filtered scan of
+        # the checkpoint — no distinct-shuffle over all postings
+        flat_r.filter(F.col("first") == 1).select("doc_id", "doc_len").write.mode(
             "overwrite"
         ).parquet(os.path.join(index_dir, "doc_stats"))
         row = (
@@ -251,17 +268,27 @@ def build_index(
             .collect()[0]
         )
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-        hot_rows = _hot_terms(flat_r, n_docs, cfg).collect()
-        # per-bucket lineage metrics now, from the checkpoint, in one job —
-        # phase 2 then commits metas without re-reading what it just wrote
+        # ONE postings-wide aggregation serves both hot-term detection and
+        # per-bucket lineage metrics (term df is tiny after the agg)
+        term_df = (
+            flat_r.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("bucket", _bucket_col(F.col("term"), nb))
+            .cache()
+        )
+        thresh = max(
+            cfg.index.hot_term_min_df, int(n_docs * cfg.index.hot_term_doc_fraction)
+        )
+        hot_rows = term_df.filter(F.col("df") > thresh).select("term").collect()
         bucket_rows = (
-            flat_r.groupBy("bucket")
+            term_df.groupBy("bucket")
             .agg(
-                F.countDistinct("term").alias("terms"),
-                F.count(F.lit(1)).alias("postings"),
+                F.count(F.lit(1)).alias("terms"),
+                F.sum("df").alias("postings"),
             )
             .collect()
         )
+        term_df.unpersist()
         with open(stats_path + ".tmp", "w") as f:
             json.dump(
                 {
@@ -292,7 +319,10 @@ def build_index(
     flat_all = spark.read.parquet(flat_dir)
     encoder = _partition_encoder(cfg)
     segments_dir = os.path.join(index_dir, "segments")
-    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    shuffle_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
+        spark.sparkContext.defaultParallelism * 4,
+    )
     for wave_start in range(0, len(pending), wave_size):
         wave = pending[wave_start : wave_start + wave_size]
         t0 = time.perf_counter()

@@ -175,7 +175,13 @@ def _wand_topk(terms, k, k1, b, avgdl):
     return uniq[order].tolist(), acc[order].tolist()
 
 
-def _make_scorer(n_docs, avgdl, k, k1, b, use_wand):
+#: below this many candidate postings per query, the vectorized exhaustive
+#: scorer beats pointer-chasing WAND (NumPy kernels vs a Python DAAT loop);
+#: above it, block-max skipping wins by not touching most of the data
+AUTO_EXACT_MAX_POSTINGS = 2_000_000
+
+
+def _make_scorer(n_docs, avgdl, k, k1, b, strategy):
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (query_id,) = key
         terms = []
@@ -206,7 +212,10 @@ def _make_scorer(n_docs, avgdl, k, k1, b, use_wand):
                     "block_min_dl": min_dl,
                 }
             )
-        if use_wand:
+        total = sum(len(t["docs"]) for t in terms)
+        if strategy == "wand" or (
+            strategy == "auto" and total > AUTO_EXACT_MAX_POSTINGS
+        ):
             doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
         else:
             doc_ids, scores = _exact_topk(terms, k)
@@ -221,6 +230,67 @@ def _make_scorer(n_docs, avgdl, k, k1, b, use_wand):
     return scorer
 
 
+def _segment_candidates(
+    spark: SparkSession, index_dir: str, qt: DataFrame
+) -> DataFrame:
+    """Decode base-segment postings for query terms back to flat rows:
+    (query_id, term, doc_id, tf, doc_len, df_base). Used by the streaming
+    base+delta scorer, where base and delta tiers must share one stats view."""
+    stats = load_stats(index_dir)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id string, term string, doc_id long, tf long, doc_len long, df_base long"
+        )
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = [
+        r["bucket"]
+        for r in tdf.select(
+            _bucket_col(F.col("term"), stats["term_buckets"]).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    ]
+    seg = (
+        spark.read.parquet(f"{index_dir}/segments")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+
+    decode_schema = "term string, doc_id long, tf long, doc_len long"
+
+    def explode_rows(batches):
+        for pdf in batches:
+            out_term, out_doc, out_tf, out_dl = [], [], [], []
+            for r in pdf.itertuples():
+                docs, tfs, dls = decode_posting_list(
+                    r.doc_stream, r.tf_stream, int(r.df_part), r.dl_stream
+                )
+                out_term.extend([r.term] * len(docs))
+                out_doc.extend(docs.tolist())
+                out_tf.extend(tfs.tolist())
+                out_dl.extend(dls.tolist())
+            if out_term:
+                yield pd.DataFrame(
+                    {
+                        "term": out_term,
+                        "doc_id": out_doc,
+                        "tf": out_tf,
+                        "doc_len": out_dl,
+                    }
+                )
+
+    flat = seg.select(
+        "term", "df_part", "doc_stream", "tf_stream", "dl_stream"
+    ).mapInPandas(explode_rows, decode_schema)
+    df_base = seg.groupBy("term").agg(F.sum("df_part").alias("df_base"))
+    return (
+        flat.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_base), "term")
+        .select("query_id", "term", "doc_id", "tf", "doc_len", "df_base")
+    )
+
+
 def bm25_topk_segments(
     spark: SparkSession,
     index_dir: str,
@@ -228,9 +298,21 @@ def bm25_topk_segments(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
-    use_wand: bool = True,
+    use_wand: bool | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """(query_id, rank, doc_id, score) from the compressed segment index."""
+    """(query_id, rank, doc_id, score) from the compressed segment index.
+
+    strategy: "auto" (default — vectorized exhaustive scoring for small
+    candidate sets, block-max WAND for large), "wand", or "exact". All three
+    return identical results (WAND pruning is lossless; tested); they differ
+    only in speed. use_wand=True/False is the explicit override used by the
+    equivalence tests.
+    """
+    if use_wand is True:
+        strategy = "wand"
+    elif use_wand is False:
+        strategy = "exact"
     stats = load_stats(index_dir)
     qt = query_terms(queries)
     term_rows = qt.select("term").distinct().collect()
@@ -254,9 +336,7 @@ def bm25_topk_segments(
         .filter(F.col("term").isin(terms))  # row-group pruning on term
     )
     joined = seg.join(F.broadcast(qt), "term")
-    scorer = _make_scorer(
-        stats["n_docs"], stats["avgdl"], k, k1, b, use_wand
-    )
+    scorer = _make_scorer(stats["n_docs"], stats["avgdl"], k, k1, b, strategy)
     scored = joined.groupBy("query_id").applyInPandas(
         scorer, "query_id string, doc_id long, score double"
     )

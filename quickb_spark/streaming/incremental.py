@@ -1,0 +1,211 @@
+"""Incremental index refresh via Structured Streaming.
+
+The batch build (index/segments.py) is the base; new documents arrive as a
+stream and become queryable in two tiers, the classic base+delta design:
+
+1. **Ingest** (`start_incremental_ingest`): readStream over a documents
+   source → the same fused chunk+tokenize kernel → `foreachBatch` appends
+   each micro-batch's flat postings to `<index>/flat_delta/ingest_batch=<n>`
+   (append-only, naturally idempotent per epoch — Structured Streaming
+   replays a failed epoch into the same directory).
+2. **Serve** (`query_with_deltas`): BM25 over base segments ∪ delta flats.
+   Deltas are small and uncompressed; they join the query path through the
+   declarative scorer while the base uses WAND. Corpus stats (N, avgdl) are
+   recomputed cheaply from base stats + delta doc counts.
+3. **Compact** (`fold_deltas_into_index`): fold accumulated deltas into the
+   bucketed checkpoint and re-encode ONLY the buckets that received new
+   postings (bucket pruning makes refresh cost proportional to the delta,
+   not the index).
+
+Watermarks/event-time windows are not needed for index refresh (postings
+are monotone accumulations, not windowed aggregates); the ingest trigger
+interval bounds staleness instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from quickb_spark.config import BM25_B, BM25_K1, EngineConfig
+from quickb_spark.index.flatten import flat_postings_from_documents
+from quickb_spark.index.segments import _bucket_col, _meta_path, load_stats
+
+__all__ = [
+    "start_incremental_ingest",
+    "query_with_deltas",
+    "fold_deltas_into_index",
+]
+
+
+def _delta_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "flat_delta")
+
+
+def start_incremental_ingest(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    trigger_seconds: int | None = None,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """stream_docs: a STREAMING DataFrame with the documents schema.
+
+    Each micro-batch lands as an append under flat_delta/ingest_batch=<n>.
+    """
+    cfg = cfg or EngineConfig()
+    nb = cfg.index.term_buckets
+    out = _delta_dir(index_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        flat = flat_postings_from_documents(batch_df, cfg).withColumn(
+            "bucket", _bucket_col(F.col("term"), nb)
+        )
+        (
+            flat.withColumn("ingest_batch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(out)
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation",
+        checkpoint or os.path.join(index_dir, "stream_checkpoint"),
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _delta_flat(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    d = _delta_dir(index_dir)
+    if not os.path.isdir(d) or not any(
+        n.startswith("ingest_batch=") for n in os.listdir(d)
+    ):
+        return None
+    return spark.read.parquet(d)
+
+
+def query_with_deltas(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k over base segments plus any unfolded streaming deltas.
+
+    Base and delta partial scores share one (N, avgdl, df) statistics view,
+    so scores equal a from-scratch rebuild over base+delta (tested)."""
+    from quickb_spark.index.encode import decode_posting_list  # noqa: F401
+    from quickb_spark.query.bm25 import bm25_score_col, query_terms, topk_window
+    from quickb_spark.query.wand import _segment_candidates
+
+    delta = _delta_flat(spark, index_dir)
+    stats = load_stats(index_dir)
+    qt = query_terms(queries)
+
+    if delta is None:
+        from quickb_spark.query.wand import bm25_topk_segments
+
+        return bm25_topk_segments(spark, index_dir, queries, k=k, k1=k1, b=b)
+
+    # merged corpus stats
+    drow = delta.agg(
+        F.countDistinct("doc_id").alias("n"),
+        F.sum("tf").alias("tokens"),
+    ).collect()[0]
+    n_delta = int(drow["n"] or 0)
+    delta_tokens = float(drow["tokens"] or 0.0)
+    n_docs = stats["n_docs"] + n_delta
+    avgdl = (
+        (stats["avgdl"] * stats["n_docs"] + delta_tokens) / n_docs if n_docs else 0.0
+    )
+
+    # per-(query, term, doc) partial rows from both tiers, then one agg
+    base = _segment_candidates(spark, index_dir, qt)  # (query_id, term, doc_id, tf, doc_len, df_base)
+    dterms = delta.join(F.broadcast(qt.select("term").distinct()), "term")
+    ddf = dterms.groupBy("term").agg(F.countDistinct("doc_id").alias("df_delta"))
+
+    df_all = (
+        base.select("term", "df_base")
+        .distinct()
+        .join(ddf, "term", "outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df_base"), F.lit(0))
+                + F.coalesce(F.col("df_delta"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    cand = (
+        base.select("query_id", "term", "doc_id", "tf", "doc_len")
+        .unionByName(
+            dterms.join(F.broadcast(qt), "term").select(
+                "query_id", "term", "doc_id", "tf", "doc_len"
+            )
+        )
+        .join(F.broadcast(df_all), "term")
+    )
+    partial = cand.select(
+        "query_id", "doc_id", bm25_score_col(n_docs, avgdl, k1, b).alias("partial")
+    )
+    scored = partial.groupBy("query_id", "doc_id").agg(F.sum("partial").alias("score"))
+    return topk_window(scored, k)
+
+
+def fold_deltas_into_index(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+) -> int:
+    """Compact deltas into the base: merge into the flat checkpoint, then
+    re-encode only the buckets the deltas touched. Returns #buckets redone."""
+    cfg = cfg or EngineConfig()
+    delta = _delta_flat(spark, index_dir)
+    if delta is None:
+        return 0
+    flat_dir = os.path.join(index_dir, "flat")
+    touched = [
+        r["bucket"] for r in delta.select("bucket").distinct().collect()
+    ]
+    merged = (
+        spark.read.parquet(flat_dir)
+        .filter(F.col("bucket").isin(touched))
+        .unionByName(delta.drop("ingest_batch"))
+        .repartition(max(len(touched), 1), "bucket")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(flat_dir)
+    )
+    # stats + affected bucket metas are now stale: recompute stats, drop the
+    # touched buckets' metas, and let build_index's resume path re-encode them
+    import shutil
+
+    stats_path = os.path.join(index_dir, "meta", "stats.json")
+    os.remove(stats_path)
+    for b in touched:
+        if os.path.exists(_meta_path(index_dir, b)):
+            os.remove(_meta_path(index_dir, b))
+    shutil.rmtree(_delta_dir(index_dir), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "stream_checkpoint"), ignore_errors=True)
+
+    from quickb_spark.index.segments import build_index
+
+    # no input DataFrame: the merged phase-1 checkpoint already exists, so
+    # build_index only recomputes stats and re-encodes the meta-less buckets
+    build_index(spark, index_dir=index_dir, cfg=cfg)
+    return len(touched)
