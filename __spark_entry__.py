@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from quickb_spark import gate
+from quickb_spark import gate, gate_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,8 +22,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(gate.SPARK_QUERIES)
+    return {**gate.SPARK_QUERIES, **gate_ext.SPARK_QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(gate.ORACLE_SQL)
+    return {**gate.ORACLE_SQL, **gate_ext.ORACLE_SQL_EXT}

@@ -31,10 +31,12 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"quickb-scale-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.shuffle.partitions", str(cpus * 4))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.local.dir", "/dev/shm/qkb_spark_local")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .getOrCreate()
     )

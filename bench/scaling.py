@@ -59,15 +59,22 @@ def run_level(cpus: int, corpus: str, work: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
-    ap.add_argument("--trials", type=int, default=2, help="best-of-N per level (variance guard)")
+    ap.add_argument("--trials", type=int, default=3, help="best-of-N per level (variance guard)")
     ap.add_argument("--n", type=int, default=8, help="base parallelism N (4N run included)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--corpus", default=None, help="reuse an existing corpus parquet dir")
     args = ap.parse_args()
 
-    work = tempfile.mkdtemp(prefix="qkb_scaling_")
-    corpus = os.path.join(work, "corpus")
-    print(f"generating {args.docs} docs corpus ...", flush=True)
-    gen_corpus(corpus, args.docs)
+    # tmpfs work dir: local-mode proxy for per-executor local SSDs — keeps
+    # shuffle/index I/O from contending with the corpus on one shared disk
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="qkb_scaling_", dir=base)
+    if args.corpus:
+        corpus = args.corpus
+    else:
+        corpus = os.path.join(work, "corpus")
+        print(f"generating {args.docs} docs corpus ...", flush=True)
+        gen_corpus(corpus, args.docs)
 
     results = {}
     for cpus in (args.n, args.n * 4):

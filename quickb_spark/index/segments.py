@@ -319,9 +319,11 @@ def build_index(
     flat_all = spark.read.parquet(flat_dir)
     encoder = _partition_encoder(cfg)
     segments_dir = os.path.join(index_dir, "segments")
+    # finer encode partitions: each holds a full sort buffer in memory, so
+    # more+smaller beats fewer+spilling as postings volume grows
     shuffle_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
-        spark.sparkContext.defaultParallelism * 4,
+        spark.sparkContext.defaultParallelism * 8,
     )
     for wave_start in range(0, len(pending), wave_size):
         wave = pending[wave_start : wave_start + wave_size]

@@ -176,9 +176,12 @@ def _wand_topk(terms, k, k1, b, avgdl):
 
 
 #: below this many candidate postings per query, the vectorized exhaustive
-#: scorer beats pointer-chasing WAND (NumPy kernels vs a Python DAAT loop);
-#: above it, block-max skipping wins by not touching most of the data
-AUTO_EXACT_MAX_POSTINGS = 2_000_000
+#: scorer beats pointer-chasing WAND (NumPy kernels vs a Python DAAT loop).
+#: The current scorer decodes all candidate streams up front, so WAND only
+#: saves the scoring pass, not the decode — vectorized scoring wins until
+#: lists are enormous. TODO(round 2): store per-block byte offsets in the
+#: segment rows so WAND can decode lazily per block; then drop this way down.
+AUTO_EXACT_MAX_POSTINGS = 50_000_000
 
 
 def _make_scorer(n_docs, avgdl, k, k1, b, strategy):
