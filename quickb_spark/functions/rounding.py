@@ -18,17 +18,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["grid4", "sql_grid4"]
+__all__ = ["grid", "grid4", "sql_grid4"]
 
 _SCALE = 10000
 
 
+def grid(col: Column, digits: int) -> Column:
+    """floor(x*10^digits + 0.5)/10^digits as a double column."""
+    scale = float(10**digits)
+    return F.floor(col.cast("double") * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def grid4(col: Column) -> Column:
     """floor(x*1e4 + 0.5)/1e4 as a double column."""
-    return (
-        F.floor(col.cast("double") * F.lit(float(_SCALE)) + F.lit(0.5))
-        / F.lit(float(_SCALE))
-    )
+    return grid(col, 4)
 
 
 def sql_grid4(expr: str) -> str:

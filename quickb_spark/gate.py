@@ -198,10 +198,19 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, band_rows=2)
 
 
+#: Skew guard for the gate's shingle self-join, mirrored EXACTLY in
+#: _jaccard_sql so Spark and DuckDB compute over the same shingle set.
+#: Shingles in more docs than this carry no dedup signal but quadratic join
+#: cost — an unguarded self-join on them is the classic 100x-scale killer.
+JACCARD_MAX_SHINGLE_DF = 1000
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4/J4: exact 3-gram Jaccard pairs above threshold."""
+    """M4/J4: exact 3-gram Jaccard pairs above threshold (df-capped join)."""
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_shingle_df=None)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
     return pairs.select("id_a", "id_b", grid4(F.col("jaccard")).alias("jaccard"))
 
 
@@ -396,12 +405,18 @@ FROM bands a JOIN bands b
 
 
 def _jaccard_sql(threshold: float = 0.5) -> str:
+    # `joinable` mirrors ngram_jaccard_pairs' max_shingle_df skew guard:
+    # both engines drop shingles with df > JACCARD_MAX_SHINGLE_DF from the
+    # pair join (sizes still count all shingles) — parity by construction.
     return f"""
 WITH sh AS ({_SHINGLES}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}),
+joinable AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM joinable a JOIN joinable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b,
        floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000 + 0.5) / 10000 AS jaccard

@@ -143,10 +143,20 @@ def q_segments_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary payload -> feature vectors (deterministic fake
-    decoder; real codec seam marked in ops/multimodal.py)."""
+    decoder; real codec seam marked in ops/multimodal.py).
+
+    The gate emits the vector exploded to (media_id, kind, dim_idx, feat)
+    scalar rows: the driver canonicalizes by sorting every column and pandas
+    cannot hash/sort an array<float> cell. decode_features itself still
+    returns the vector column."""
     from quickb_spark.ops.multimodal import decode_features, media_table
 
-    return decode_features(media_table(spark, n=48), dim=16)
+    feats = decode_features(media_table(spark, n=48), dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.posexplode("embedding").alias("dim_idx", "_v"),
+    ).select("media_id", "kind", "dim_idx", grid4(F.col("_v")).alias("feat"))
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "simhash_py",
     "simhash_col",
 ]
 
@@ -185,17 +186,64 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(text_col: Column | str = "text", bits: int = 64):
-    """64-bit simhash as a vectorized pandas UDF (no SQL oracle — verified
-    against a pure-Python oracle in tests/test_dedup.py).
+def simhash_py(text: str | None) -> int:
+    """Pure-Python/NumPy simhash of one text — the oracle AND the kernel.
 
     Per token: 64 hash bits from md5(token); per document: sign of the
-    tf-weighted bit sums. NumPy unpackbits kernel — no per-row Python beyond
-    the tokenizer scan shared with indexing.
+    tf-weighted bit sums, packed big-endian into a signed int64.
     """
     import hashlib
 
     from quickb_spark.functions.tokenize import tokenize_py
+
+    if not text:
+        return 0
+    toks = tokenize_py(text)
+    if not toks:
+        return 0
+    vals, counts = np.unique(toks, return_counts=True)
+    digests = np.frombuffer(
+        b"".join(hashlib.md5(v.encode()).digest()[:8] for v in vals),
+        dtype=np.uint8,
+    ).reshape(len(vals), 8)
+    bits_mat = np.unpackbits(digests, axis=1).astype(np.int64)  # (v, 64)
+    acc = ((2 * bits_mat - 1) * counts[:, None]).sum(axis=0)
+    bitvec = (acc > 0).astype(np.uint8)
+    return int(
+        np.int64(int.from_bytes(np.packbits(bitvec).tobytes(), "big", signed=True))
+    )
+
+
+def simhash_col(text_col: Column | str = "text", bits: int = 64):
+    """64-bit simhash as a vectorized pandas UDF (no SQL oracle — verified
+    bit-identical to simhash_py in tests/test_dedup.py).
+
+    Scale shape: tokens repeat heavily across a corpus (Zipf), so each
+    Python worker keeps a token -> ±1-bit-row cache across Arrow batches and
+    md5-hashes each distinct vocabulary token ONCE per worker — not once per
+    (doc, token) occurrence, which at 100x scale would be billions of Python
+    hashlib calls. Per document the signature is one cached-matrix gather +
+    tf-weighted column sum.
+    """
+    import hashlib
+
+    from quickb_spark.functions.tokenize import tokenize_py
+
+    # task-lifetime vocabulary cache: token -> (64,) ±1 sign row. Persists
+    # across Arrow batches within a task, so each distinct token is hashed
+    # once, not once per occurrence.
+    cache: dict[str, np.ndarray] = {}
+
+    def _sign_rows(vals: np.ndarray) -> np.ndarray:
+        rows = []
+        for v in vals:
+            r = cache.get(v)
+            if r is None:
+                d = np.frombuffer(hashlib.md5(v.encode()).digest()[:8], np.uint8)
+                r = 2 * np.unpackbits(d).astype(np.int64) - 1
+                cache[v] = r
+            rows.append(r)
+        return np.stack(rows)
 
     @F.pandas_udf(LongType())
     def _simhash(text: pd.Series) -> pd.Series:
@@ -207,13 +255,8 @@ def simhash_col(text_col: Column | str = "text", bits: int = 64):
             if not toks:
                 continue
             vals, counts = np.unique(toks, return_counts=True)
-            digests = np.frombuffer(
-                b"".join(hashlib.md5(v.encode()).digest()[:8] for v in vals),
-                dtype=np.uint8,
-            ).reshape(len(vals), 8)
-            bits_mat = np.unpackbits(digests, axis=1).astype(np.int64)  # (v, 64)
-            acc = ((2 * bits_mat - 1) * counts[:, None]).sum(axis=0)
-            bitvec = (acc > 0).astype(np.uint8)
+            mat = _sign_rows(vals)  # (v, 64) of ±1
+            bitvec = ((counts[:, None] * mat).sum(axis=0) > 0).astype(np.uint8)
             out[row] = np.int64(
                 int.from_bytes(np.packbits(bitvec).tobytes(), "big", signed=True)
             )

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 from pyspark.sql.window import Window
 
+from quickb_spark.functions.rounding import grid
+
 __all__ = ["cosine_col", "cosine_topk", "hyperplane_bucket_udf", "lsh_bucketed_topk"]
 
 
@@ -60,7 +62,11 @@ def cosine_topk(
     )
     cos = cosine_col(F.col("_qvec"), F.col(vec_col))
     if round_to is not None:
-        cos = F.round(cos, round_to)
+        # grid rounding (floor(x*10^d + 0.5)/10^d), NOT F.round: Spark round
+        # goes through BigDecimal's shortest-decimal repr (HALF_UP) and
+        # disagrees with DuckDB on decimal halves; rounding happens BEFORE
+        # ranking, so a half-point disagreement would also flip tie-breaks.
+        cos = grid(cos, round_to)
     pairs = corpus.join(F.broadcast(q)).select(
         "query_id",
         F.col(id_col),
