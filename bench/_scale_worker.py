@@ -38,6 +38,18 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.local.dir", "/dev/shm/qkb_spark_local")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the checkpoint/segment dirs hold many few-MB files in this sandbox;
+        # default 128MB maxPartitionBytes + 4MB openCost would coalesce them
+        # into a handful of scan partitions and serialize downstream stages
+        # (at production scale files are row-group sized and this is moot)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # shuffle dirs live on tmpfs here: compressing shuffle blocks burns
+        # CPU (which contends with the Python workers) to save RAM-disk
+        # bytes nobody is short of — on a real cluster with remote/disk
+        # shuffle these stay on
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

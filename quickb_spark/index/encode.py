@@ -35,6 +35,7 @@ __all__ = [
     "from_u64",
     "varbyte_encode",
     "varbyte_decode",
+    "varbyte_lengths",
     "encode_posting_list",
     "decode_posting_list",
     "block_meta",
@@ -109,6 +110,18 @@ def varbyte_decode(buf: bytes, count: int) -> np.ndarray:
     return out
 
 
+def varbyte_lengths(vals: np.ndarray) -> np.ndarray:
+    """Bytes varbyte_encode emits per value (1 + one per extra 7-bit plane).
+    Lets callers compute byte offsets into a stream without re-scanning it
+    (map-side position slicing in index/flatten.py; per-block stream offsets
+    for lazy query-time decode)."""
+    v = vals.astype(np.uint64, copy=False)
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nb += v >= np.uint64(1) << np.uint64(7 * k)
+    return nb
+
+
 def block_meta(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -132,22 +145,54 @@ def encode_posting_list(
     dls: np.ndarray,
     positions: list | None = None,
     block_size: int = 128,
+    pos_vb: list | None = None,
 ) -> dict:
-    """Encode one sorted posting list. Returns the segment-row payload."""
+    """Encode one sorted posting list. Returns the segment-row payload.
+
+    Positions come in one of two forms: `positions` (per-posting int arrays,
+    delta+varbyte encoded here) or `pos_vb` (per-posting ALREADY-varbyte
+    byte slices from the map-side kernel, index/flatten.py — the build path;
+    the streams are simply concatenated in doc order, identical format).
+
+    The doc-gap delta RESETS to an absolute value at every block start, and
+    per-block BYTE offsets into the three streams are returned — together
+    they make any block-aligned sub-range of the list independently
+    decodable, which is what lets the query side slice streams JVM-side and
+    decode lazily instead of shipping whole hot posting lists to one task.
+    """
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     dls = np.asarray(dls, dtype=np.int64)[order]
+    n = len(doc_ids)
     u = to_u64(doc_ids)
     gaps = np.empty_like(u)
-    if len(u):
+    if n:
         gaps[0] = u[0]
         np.subtract(u[1:], u[:-1], out=gaps[1:])
+        bstarts = np.arange(0, n, block_size, dtype=np.int64)
+        gaps[bstarts] = u[bstarts]  # absolute reset per block
     doc_stream = varbyte_encode(gaps)
-    tf_stream = varbyte_encode(tfs.astype(np.uint64))
-    dl_stream = varbyte_encode(dls.astype(np.uint64))
+    tfs_u = tfs.astype(np.uint64)
+    dls_u = dls.astype(np.uint64)
+    tf_stream = varbyte_encode(tfs_u)
+    dl_stream = varbyte_encode(dls_u)
+    if n:
+        def _offsets(vals_u: np.ndarray) -> list[int]:
+            per = varbyte_lengths(vals_u)
+            return np.concatenate(
+                ([0], np.cumsum(per)[bstarts[1:] - 1])
+            ).tolist()
+
+        block_doc_off = _offsets(gaps)
+        block_tf_off = _offsets(tfs_u)
+        block_dl_off = _offsets(dls_u)
+    else:
+        block_doc_off = block_tf_off = block_dl_off = []
     pos_stream = b""
-    if positions is not None and len(doc_ids):
+    if pos_vb is not None and len(doc_ids):
+        pos_stream = b"".join(pos_vb[i] for i in order)
+    elif positions is not None and len(doc_ids):
         # per-doc delta-encoded positions, vectorized: one global diff with
         # absolute resets at each doc boundary (lengths are the tf values)
         flat = np.concatenate(
@@ -170,15 +215,34 @@ def encode_posting_list(
         "block_last_doc": last_doc.tolist(),
         "block_max_tf": max_tf.tolist(),
         "block_min_dl": min_dl.tolist(),
+        "block_doc_off": block_doc_off,
+        "block_tf_off": block_tf_off,
+        "block_dl_off": block_dl_off,
     }
 
 
 def decode_posting_list(
-    doc_stream: bytes, tf_stream: bytes, n_docs: int, dl_stream: bytes | None = None
+    doc_stream: bytes,
+    tf_stream: bytes,
+    n_docs: int,
+    dl_stream: bytes | None = None,
+    block_size: int = 128,
 ):
-    """-> (doc_ids int64 sorted ascending, tfs int64[, dls int64])."""
+    """-> (doc_ids int64 sorted ascending, tfs int64[, dls int64]).
+
+    Works on the full stream OR any block-aligned slice of it (the gap
+    stream resets to an absolute value at every block start; `n_docs` is
+    the number of postings in the slice)."""
     gaps = varbyte_decode(doc_stream, n_docs)
-    u = np.cumsum(gaps, dtype=np.uint64)
+    c = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.arange(0, n_docs, block_size, dtype=np.int64)
+    if len(starts) > 1:
+        # segmented cumsum: u[i] = c[i] - c[start_of_block(i) - 1]
+        reps = np.diff(np.append(starts, n_docs))
+        carry = np.repeat(np.concatenate(([np.uint64(0)], c[starts[1:] - 1])), reps)
+        u = c - carry
+    else:
+        u = c
     tfs = varbyte_decode(tf_stream, n_docs).view(np.int64)
     if dl_stream is None:
         return from_u64(u), tfs

@@ -2,26 +2,40 @@
 
 Build pipeline (SURVEY.md §7 step 3, north-star core):
 
-  chunks ──► flat postings (+doc_len, map-side)               [no shuffle]
-         ──► phase 1: shuffle once on (bucket, term) and persist as the
-             CHECKPOINT: parquet partitioned by `bucket`       [1 shuffle]
-         ──► phase 2: per bucket-wave groupBy(term, salt) + applyInPandas
-             encode (delta-gap + varbyte + block-max) → segments parquet
-             partitioned by `bucket`; one meta JSON per bucket committed
-             AFTER its segment data (write-ahead order = idempotent resume)
+  documents ──► fused chunk+tokenize kernel → flat postings with positions
+             pre-varbyte'd map-side (index/flatten.py)      [no shuffle]
+          ──► phase 1: shuffle once on (bucket, file-salt) and persist as
+             the CHECKPOINT: parquet partitioned by `bucket` [1 shuffle]
+          ──► phase 2: per bucket-wave, ONE shuffle keyed by
+             (bucket, subgroup(term, salt)) + partition-local sort, then a
+             mapInPandas encoder (delta-gap + varbyte + block-max). Because
+             the partition key is a function of (term, salt) alone, every
+             partition holds complete posting lists of ~one bucket slice,
+             so the writer task emits ~one file into ~one bucket dir —
+             NO second shuffle, and write parallelism scales with cores
+             instead of being pinned to the bucket count (the round-1
+             scaling-efficiency killer).
 
-Skew (the Zipfian `def`/`import` problem): term df is computed first; terms
-with df above the hot threshold get `salt = pmod(xxhash64(doc_id), S)` so no
-single groupBy key exceeds df_hot/S postings. Salted sub-lists are re-merged
-at query time (quickb_spark.query.wand). AQE cannot fix groupBy skew — this
-is deliberate app-level salting, recorded per segment row.
+Skew (the Zipfian `def`/`import` problem): hot terms get
+`salt = pmod(xxhash64(doc_id), S)` so no single encode group exceeds
+df_hot/S postings. Hot-term detection runs on a bounded SAMPLE of the
+checkpoint (a full term-df pass costs a second postings-wide shuffle);
+the threshold keeps a 2x safety margin — salting a borderline-cold term is
+harmless (query-side re-merge is unconditional), missing a hot one is not.
+Salted sub-lists are re-merged at query time (quickb_spark.query.wand).
+AQE cannot fix groupBy skew — this is deliberate app-level salting.
+
+Corpus scalars (n_docs, avgdl, posting count) ride on the phase-1 write via
+`DataFrame.observe` — zero extra jobs. Per-bucket lineage metrics are
+aggregated from the (small, compressed) segment rows AFTER each wave lands,
+not from a postings-wide pre-pass.
 
 Resumability: phase 1 is one atomic parquet write (its _SUCCESS marker is
 the checkpoint). Phase 2 is per-bucket idempotent: a bucket's segment
-directory is rewritten wholly, then its meta JSON (with metrics + timings)
-is written last; on restart, buckets with committed meta are skipped and
-their data is untouched (lineage preserved). `segments_meta()` exposes the
-whole build history as a DataFrame (FIXTURES.md §6 shape).
+directory is rewritten wholly (dynamic partition overwrite), then its meta
+JSON (with metrics + timings) is written last; on restart, buckets with
+committed meta are skipped and their data is untouched (lineage preserved).
+`segments_meta()` exposes the whole build history as a DataFrame.
 
 Layout on disk (Iceberg-ready: swap parquet dirs for an Iceberg table with
 identity partitioning on `bucket` without touching the logic):
@@ -36,11 +50,12 @@ identity partitioning on `bucket` without touching the logic):
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -55,9 +70,11 @@ from pyspark.sql.types import (
 import numpy as np
 
 from quickb_spark.config import EngineConfig
-from quickb_spark.functions.tokenize import term_frequencies_udf
 from quickb_spark.index.encode import encode_posting_list
-from quickb_spark.index.flatten import flat_postings_from_documents
+from quickb_spark.index.flatten import (
+    flat_postings_from_chunks,
+    flat_postings_from_documents,
+)
 
 __all__ = ["build_index", "segments_meta", "load_stats", "SEGMENT_SCHEMA"]
 
@@ -74,45 +91,55 @@ SEGMENT_SCHEMA = StructType(
         StructField("block_last_doc", ArrayType(LongType())),
         StructField("block_max_tf", ArrayType(LongType())),
         StructField("block_min_dl", ArrayType(LongType())),
+        # byte offset of each block's first value inside the three streams:
+        # with the per-block absolute delta reset, any block-aligned
+        # sub-range is independently decodable (lazy/sliced query decode)
+        StructField("block_doc_off", ArrayType(LongType())),
+        StructField("block_tf_off", ArrayType(LongType())),
+        StructField("block_dl_off", ArrayType(LongType())),
     ]
 )
 
 
 def flat_postings_with_dl(chunks: DataFrame, text_col: str = "text") -> DataFrame:
-    """(term, doc_id, tf, positions, doc_len) — doc_len computed inside the
-    same Arrow batch as tokenization, so no doc_stats join is ever needed
-    on the build path."""
-    per_doc = chunks.select(
-        "doc_id", term_frequencies_udf(F.col(text_col)).alias("tfs")
-    ).select(
-        "doc_id",
-        F.aggregate("tfs", F.lit(0), lambda acc, s: acc + s["tf"])
-        .cast("long")
-        .alias("doc_len"),
-        F.posexplode("tfs").alias("_tpos", "p"),
-    )
-    return per_doc.select(
-        F.col("p.term").alias("term"),
-        "doc_id",
-        F.col("p.tf").alias("tf"),
-        F.col("p.positions").alias("positions"),
-        "doc_len",
-        F.when(F.col("_tpos") == 0, F.lit(1)).otherwise(F.lit(0)).alias("first"),
-    )
+    """(term, doc_id, tf, pos_vb, doc_len, first) from pre-chunked text —
+    thin alias kept for API stability; the kernel lives in index/flatten."""
+    return flat_postings_from_chunks(chunks, text_col=text_col)
 
 
 def _bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
-def _hot_terms(flat: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
-    thresh = max(cfg.index.hot_term_min_df, int(n_docs * cfg.index.hot_term_doc_fraction))
-    return (
-        flat.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > thresh)
-        .select("term")
+#: Sampled-df budget for hot-term detection (rows aggregated, not scanned).
+_HOT_SAMPLE_ROWS = 5_000_000
+#: Safety margin on the sampled threshold: include anything whose estimated
+#: df exceeds half the hot threshold (over-salting is benign).
+_HOT_SAMPLE_MARGIN = 0.5
+#: Upper bound on the hot set (isin-literal plan size guard).
+_HOT_MAX_TERMS = 2000
+
+
+def _detect_hot_terms(
+    flat_r: DataFrame, n_docs: int, total_postings: int, cfg: EngineConfig
+) -> list[str]:
+    thresh = max(
+        cfg.index.hot_term_min_df, int(n_docs * cfg.index.hot_term_doc_fraction)
     )
+    frac = min(1.0, _HOT_SAMPLE_ROWS / max(total_postings, 1))
+    src = flat_r.select("term")
+    if frac < 1.0:
+        src = src.sample(False, frac, seed=42)
+    cut = thresh * frac * (_HOT_SAMPLE_MARGIN if frac < 1.0 else 1.0)
+    rows = (
+        src.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .filter(F.col("df_s") > cut)
+        .orderBy(F.desc("df_s"))
+        .limit(_HOT_MAX_TERMS)
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
 
 
 def _partition_encoder(cfg: EngineConfig):
@@ -120,9 +147,9 @@ def _partition_encoder(cfg: EngineConfig):
 
     groupBy().applyInPandas() pays per-group Arrow + pandas overhead (~ms per
     group — ruinous with millions of terms). Here the shuffle is a plain
-    repartition on (term, salt) followed by a partition-local sort, and the
-    encoder walks each partition once, slicing groups with NumPy and carrying
-    the (possibly split) tail group across Arrow batch boundaries.
+    repartition followed by a partition-local sort, and the encoder walks
+    each partition once, slicing groups with NumPy and carrying the
+    (possibly split) tail group across Arrow batch boundaries.
     """
     block_size = cfg.index.block_size
     store_pos = cfg.index.store_positions
@@ -135,7 +162,7 @@ def _partition_encoder(cfg: EngineConfig):
             doc_ids,
             tfs,
             dls,
-            positions=list(pdf["positions"].iloc[lo:hi]) if store_pos else None,
+            pos_vb=list(pdf["pos_vb"].iloc[lo:hi]) if store_pos else None,
             block_size=block_size,
         )
         return {
@@ -150,6 +177,9 @@ def _partition_encoder(cfg: EngineConfig):
             "block_last_doc": enc["block_last_doc"],
             "block_max_tf": enc["block_max_tf"],
             "block_min_dl": enc["block_min_dl"],
+            "block_doc_off": enc["block_doc_off"],
+            "block_tf_off": enc["block_tf_off"],
+            "block_dl_off": enc["block_dl_off"],
         }
 
     def _bounds(term_arr: np.ndarray, salt_arr: np.ndarray) -> np.ndarray:
@@ -215,6 +245,7 @@ def build_index(
         raise ValueError("pass at most one of chunks= or documents=")
     cfg = cfg or EngineConfig()
     nb = cfg.index.term_buckets
+    cores = spark.sparkContext.defaultParallelism
     _dbg = os.environ.get("QKB_BUILD_TIMING") == "1"
     _t0 = time.perf_counter()
 
@@ -232,6 +263,7 @@ def build_index(
     # (bucket = f(term) only, so salting can be applied lazily in phase 2;
     # no .persist() — the checkpoint parquet IS the reuse point, which also
     # holds at 100 TB where executor memory could never cache the postings)
+    p1_metrics: dict | None = None
     if not os.path.exists(os.path.join(flat_dir, "_SUCCESS")):
         if chunks is None and documents is None:
             raise ValueError(
@@ -241,20 +273,34 @@ def build_index(
         flat = (
             flat_postings_from_documents(documents, cfg)
             if documents is not None
-            else flat_postings_with_dl(chunks)
+            else flat_postings_from_chunks(chunks)
         )
+        # corpus scalars ride on the write action — no separate agg jobs
+        obs = Observation("qkb_p1")
+        flat = flat.observe(
+            obs,
+            F.sum(F.col("first")).alias("n_docs"),
+            F.sum(F.col("first") * F.col("doc_len")).alias("sum_dl"),
+            F.count(F.lit(1)).alias("n_postings"),
+        )
+        # file-salt: write tasks scale with cores instead of bucket count
+        # (64 fixed tasks was a round-1 scaling bottleneck); each task still
+        # writes into ~1 bucket dir, so files per bucket stay bounded at s1
+        s1 = max(1, math.ceil(cores * 8 / nb))
         (
             flat.withColumn("bucket", _bucket_col(F.col("term"), nb))
-            .repartition(nb, "bucket")
+            .repartition(
+                nb * s1, F.col("bucket"), F.pmod(F.xxhash64("doc_id"), F.lit(s1))
+            )
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(flat_dir)
         )
+        p1_metrics = {k: int(v or 0) for k, v in obs.get.items()}
 
     _mark("phase1 flat checkpoint")
 
-    # ---- phase 1b: corpus stats from the columnar checkpoint (JVM scans,
-    # no Python) ------------------------------------------------------------
+    # ---- phase 1b: doc stats + hot-term detection ------------------------
     if not os.path.exists(stats_path):
         flat_r = spark.read.parquet(flat_dir)
         # doc-level stats via the `first` marker: a narrow filtered scan of
@@ -262,46 +308,29 @@ def build_index(
         flat_r.filter(F.col("first") == 1).select("doc_id", "doc_len").write.mode(
             "overwrite"
         ).parquet(os.path.join(index_dir, "doc_stats"))
-        row = (
-            spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-            .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
-            .collect()[0]
-        )
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-        # ONE postings-wide aggregation serves both hot-term detection and
-        # per-bucket lineage metrics (term df is tiny after the agg)
-        term_df = (
-            flat_r.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .withColumn("bucket", _bucket_col(F.col("term"), nb))
-            .cache()
-        )
-        thresh = max(
-            cfg.index.hot_term_min_df, int(n_docs * cfg.index.hot_term_doc_fraction)
-        )
-        hot_rows = term_df.filter(F.col("df") > thresh).select("term").collect()
-        bucket_rows = (
-            term_df.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("terms"),
-                F.sum("df").alias("postings"),
+        if p1_metrics is not None:
+            n_docs = p1_metrics["n_docs"]
+            avgdl = p1_metrics["sum_dl"] / n_docs if n_docs else 0.0
+            total_postings = p1_metrics["n_postings"]
+        else:  # resume path: phase 1 done in a previous process
+            row = (
+                spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+                .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+                .collect()[0]
             )
-            .collect()
-        )
-        term_df.unpersist()
+            n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+            total_postings = flat_r.count()  # parquet metadata-only count
+        hot = _detect_hot_terms(flat_r, n_docs, total_postings, cfg)
         with open(stats_path + ".tmp", "w") as f:
             json.dump(
                 {
                     "n_docs": n_docs,
                     "avgdl": avgdl,
+                    "n_postings": total_postings,
                     "term_buckets": nb,
                     "salt_buckets": cfg.index.salt_buckets,
                     "block_size": cfg.index.block_size,
-                    "hot_terms": sorted(r["term"] for r in hot_rows),
-                    "bucket_stats": {
-                        str(r["bucket"]): [int(r["terms"]), int(r["postings"])]
-                        for r in bucket_rows
-                    },
+                    "hot_terms": hot,
                 },
                 f,
             )
@@ -312,19 +341,15 @@ def build_index(
     with open(stats_path) as f:
         _stats = json.load(f)
     hot_terms = set(_stats["hot_terms"])
-    bucket_stats = {int(k): v for k, v in _stats.get("bucket_stats", {}).items()}
 
     # ---- phase 2: per-bucket-wave encode, idempotent, resumable ----------
     pending = [b for b in range(nb) if not os.path.exists(_meta_path(index_dir, b))]
     flat_all = spark.read.parquet(flat_dir)
     encoder = _partition_encoder(cfg)
     segments_dir = os.path.join(index_dir, "segments")
-    # finer encode partitions: each holds a full sort buffer in memory, so
-    # more+smaller beats fewer+spilling as postings volume grows
-    shuffle_parts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
-        spark.sparkContext.defaultParallelism * 8,
-    )
+    # sub-partitions per bucket: scales encode AND write parallelism with
+    # cores, and bounds each partition's sort buffer
+    g = max(1, math.ceil(cores * 8 / nb))
     for wave_start in range(0, len(pending), wave_size):
         wave = pending[wave_start : wave_start + wave_size]
         t0 = time.perf_counter()
@@ -335,15 +360,19 @@ def build_index(
                 F.pmod(F.xxhash64("doc_id"), F.lit(cfg.index.salt_buckets)).cast("int"),
             ).otherwise(F.lit(0)),
         )
+        # ONE shuffle: the partition key is a pure function of (term, salt)
+        # — complete posting lists per partition (required by the encoder's
+        # sorted-walk) — and includes bucket, so each encoded partition maps
+        # to ~one bucket dir and the write needs no second shuffle
         seg = (
-            wave_flat.repartition(shuffle_parts, "term", "salt")
+            wave_flat.repartition(
+                len(wave) * g,
+                F.col("bucket"),
+                F.pmod(F.xxhash64("term", "salt"), F.lit(g)),
+            )
             .sortWithinPartitions("term", "salt", "doc_id")
             .mapInPandas(encoder, SEGMENT_SCHEMA)
             .withColumn("bucket", _bucket_col(F.col("term"), nb))
-            # one output file per bucket dir: without this, every writer task
-            # emits a sliver into every bucket (tasks x buckets tiny files)
-            # and all later scans pay the listing + footer cost
-            .repartition(len(wave), "bucket")
         )
         # dynamic partition overwrite: only this wave's bucket dirs are
         # replaced, finished buckets are untouched -> idempotent re-runs
@@ -354,16 +383,30 @@ def build_index(
             .parquet(segments_dir)
         )
         _mark(f"phase2 encode wave {wave[0]}-{wave[-1]}")
+        # lineage metrics from the landed (small, compressed) segment rows —
+        # cheaper and more truthful than a postings-wide pre-pass
+        wave_rows = (
+            spark.read.parquet(segments_dir)
+            .filter(F.col("bucket").isin(wave))
+            .groupBy("bucket")
+            .agg(
+                F.countDistinct("term").alias("terms"),
+                F.sum("df_part").alias("postings"),
+                F.max("salt").alias("max_salt"),
+            )
+            .collect()
+        )
+        wave_stats = {int(r["bucket"]): r for r in wave_rows}
         build_ms = int((time.perf_counter() - t0) * 1000 / max(len(wave), 1))
         for b in wave:
-            terms_n, postings_n = bucket_stats.get(b, (0, 0))
+            r = wave_stats.get(b)
             meta = {
                 "segment_id": f"seg-{b:05d}",
                 "partition_id": b,
-                "salt": cfg.index.salt_buckets if hot_terms else 0,
-                "term_count": int(terms_n),
-                "posting_count": int(postings_n),
-                "input_rows": int(postings_n),
+                "salt": int(r["max_salt"]) if r is not None else 0,
+                "term_count": int(r["terms"]) if r is not None else 0,
+                "posting_count": int(r["postings"]) if r is not None else 0,
+                "input_rows": int(r["postings"]) if r is not None else 0,
                 "build_time_ms": build_ms,
                 "checkpoint_path": f"segments/bucket={b}",
                 "status": "done",

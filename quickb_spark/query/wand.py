@@ -2,12 +2,24 @@
 
 Query plan (SURVEY.md §2.11):
 
-  queries ─► tokenize ─► distinct terms (tiny) ─► bucket ids (same
-  pmod(xxhash64) as the build) ─► segment scan PRUNED to those bucket
+  queries ─► tokenize ─► distinct terms (tiny, ONE driver round-trip for
+  term+bucket pruning literals) ─► segment scan PRUNED to those bucket
   partitions + term filter (pushed to parquet) ─► broadcast-join the
-  (query_id, term) map ─► groupBy(query_id).applyInPandas scorer.
+  (query_id, term) map and the global per-term df ─► SLICE each matched
+  row's streams into docID ranges JVM-side (substring on the per-block
+  byte offsets; the per-block absolute delta reset makes any block-aligned
+  slice independently decodable) ─► groupBy(query_id, range_id)
+  .applyInPandas scorer ─► exact top-k merge (window over R·k rows).
 
-The scorer decodes varbyte streams (NumPy), re-merges salted sub-lists per
+Parallel serving: docIDs are xxhash64 outputs, uniform over int64, so R
+equal int64 intervals split every posting list ~evenly. Each (query, range)
+task decodes ONLY its slice — a hot-term query no longer funnels its whole
+posting list through one Python task (the round-1 serving bottleneck), and
+per-task memory is bounded by candidate_postings/R. Ranges partition the
+doc space, so per-range top-k lists merge exactly (a doc's full score is
+computed in exactly one range).
+
+The scorer decodes varbyte slices (NumPy), re-merges salted sub-lists per
 term (hot-term salting is a build-time artifact — queries see one logical
 posting list), recomputes block-max metadata on the merged arrays, and runs
 document-at-a-time WAND: a pivot is the first term (in current-docID order)
@@ -21,8 +33,10 @@ Correctness guardrails:
 - upper bounds come from (max_tf, min_dl): BM25 is monotonically increasing
   in tf and decreasing in dl, so idf·S(max_tf, min_dl) bounds every doc in
   scope; block bounds are recomputed post-merge so salting can't break them.
-- df for idf is the sum of df_part over a term's salted rows — global by
-  construction since the scan loads every salt of each query term.
+- df for idf is the GLOBAL per-term sum of df_part over all salted rows,
+  joined onto every slice — a range never sees a partial df.
+- slices are block-aligned (supersets of the range); the scorer trims the
+  decoded arrays to [lo, hi] so boundary docs are scored exactly once.
 """
 
 from __future__ import annotations
@@ -175,28 +189,55 @@ def _wand_topk(terms, k, k1, b, avgdl):
     return uniq[order].tolist(), acc[order].tolist()
 
 
-#: below this many candidate postings per query, the vectorized exhaustive
-#: scorer beats pointer-chasing WAND (NumPy kernels vs a Python DAAT loop).
-#: The current scorer decodes all candidate streams up front, so WAND only
-#: saves the scoring pass, not the decode — vectorized scoring wins until
-#: lists are enormous. TODO(round 2): store per-block byte offsets in the
-#: segment rows so WAND can decode lazily per block; then drop this way down.
-AUTO_EXACT_MAX_POSTINGS = 50_000_000
+#: below this many candidate postings per (query, range) task, the
+#: vectorized exhaustive scorer beats pointer-chasing WAND (NumPy kernels vs
+#: a Python DAAT loop). Each task decodes only its block-aligned slice, so
+#: the decode cost is already bounded by the range split; WAND's pruning
+#: only saves the scoring pass on top of that.
+AUTO_EXACT_MAX_POSTINGS = 2_000_000
+
+#: auto range split: one docID range per this many candidate postings.
+RANGE_TARGET_POSTINGS = 2_000_000
+MAX_RANGES = 32
 
 
-def _make_scorer(n_docs, avgdl, k, k1, b, strategy):
+def _range_bounds(r_count: int) -> list[tuple[int, int, int]]:
+    """R closed [lo, hi] intervals covering the full signed-int64 space.
+    docIDs are xxhash64 outputs — uniform over int64 — so equal intervals
+    split posting lists ~evenly with zero statistics."""
+    out = []
+    for r in range(r_count):
+        lo = -(2**63) + (2**64 * r) // r_count
+        hi = -(2**63) + (2**64 * (r + 1)) // r_count - 1
+        out.append((r, lo, hi))
+    return out
+
+
+def _make_scorer(n_docs, avgdl, k, k1, b, strategy, block_size):
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        (query_id,) = key
+        query_id = key[0]
+        lo = int(pdf["lo"].iat[0])
+        hi = int(pdf["hi"].iat[0])
         terms = []
         for term, g in pdf.groupby("term", sort=True):
-            df_total = int(g["df_part"].sum())
+            df_total = int(g["df_total"].iat[0])  # global df (JVM-joined)
             idf = float(np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5)))
-            parts = [
-                decode_posting_list(
-                    r.doc_stream, r.tf_stream, int(r.df_part), r.dl_stream
+            parts = []
+            for r in g.itertuples():
+                d, t, dl = decode_posting_list(
+                    r.doc_stream, r.tf_stream, int(r.n_sub), r.dl_stream,
+                    block_size=block_size,
                 )
-                for r in g.itertuples()
-            ]
+                # slices are block-aligned supersets of [lo, hi]: trim so
+                # every doc is scored in exactly one range
+                a = int(np.searchsorted(d, lo, "left"))
+                z = int(np.searchsorted(d, hi, "right"))
+                if a or z < len(d):
+                    d, t, dl = d[a:z], t[a:z], dl[a:z]
+                if len(d):
+                    parts.append((d, t, dl))
+            if not parts:
+                continue
             docs = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
@@ -233,6 +274,81 @@ def _make_scorer(n_docs, avgdl, k, k1, b, strategy):
     return scorer
 
 
+def _slice_to_ranges(
+    spark: SparkSession, joined: DataFrame, r_count: int, block_size: int
+) -> DataFrame:
+    """Fan each matched segment row out to the docID ranges it overlaps,
+    slicing streams + block metadata JVM-side (substring on the per-block
+    byte offsets). Shuffled bytes ≈ each stream byte once, not once per
+    range."""
+    if r_count <= 1:
+        return joined.select(
+            "query_id",
+            "term",
+            "df_total",
+            F.lit(0).alias("range_id"),
+            F.lit(-(2**63)).alias("lo"),
+            F.lit(2**63 - 1).alias("hi"),
+            F.col("df_part").alias("n_sub"),
+            "doc_stream",
+            "tf_stream",
+            "dl_stream",
+        )
+    ranges = spark.createDataFrame(
+        _range_bounds(r_count), "range_id int, lo long, hi long"
+    )
+    x = joined.crossJoin(F.broadcast(ranges))
+    nb = F.size("block_last_doc")
+    b_lo = F.size(F.filter("block_last_doc", lambda v: v < F.col("lo")))
+    b_hi = F.least(
+        nb, F.size(F.filter("block_last_doc", lambda v: v <= F.col("hi"))) + F.lit(1)
+    )
+    x = (
+        x.withColumn("b_lo", b_lo)
+        .withColumn("b_hi", b_hi)
+        .filter(F.col("b_lo") < F.col("b_hi"))
+    )
+
+    # materialize slice start/length columns (expr() needs named columns)
+    for stream, off in (
+        ("doc_stream", "block_doc_off"),
+        ("tf_stream", "block_tf_off"),
+        ("dl_stream", "block_dl_off"),
+    ):
+        start = F.element_at(off, F.col("b_lo") + 1)
+        end = F.when(
+            F.col("b_hi") < F.size(off), F.element_at(off, F.col("b_hi") + 1)
+        ).otherwise(F.length(stream).cast("long"))
+        x = x.withColumn(f"_s_{stream}", start).withColumn(
+            f"_l_{stream}", end - start
+        )
+    n_sub = (
+        F.least(F.col("df_part"), F.col("b_hi").cast("long") * block_size)
+        - F.col("b_lo").cast("long") * block_size
+    )
+    return x.select(
+        "query_id",
+        "term",
+        "df_total",
+        "range_id",
+        "lo",
+        "hi",
+        n_sub.alias("n_sub"),
+        F.expr(
+            "substring(doc_stream, CAST(_s_doc_stream + 1 AS INT),"
+            " CAST(_l_doc_stream AS INT))"
+        ).alias("doc_stream"),
+        F.expr(
+            "substring(tf_stream, CAST(_s_tf_stream + 1 AS INT),"
+            " CAST(_l_tf_stream AS INT))"
+        ).alias("tf_stream"),
+        F.expr(
+            "substring(dl_stream, CAST(_s_dl_stream + 1 AS INT),"
+            " CAST(_l_dl_stream AS INT))"
+        ).alias("dl_stream"),
+    )
+
+
 def _segment_candidates(
     spark: SparkSession, index_dir: str, qt: DataFrame
 ) -> DataFrame:
@@ -240,6 +356,7 @@ def _segment_candidates(
     (query_id, term, doc_id, tf, doc_len, df_base). Used by the streaming
     base+delta scorer, where base and delta tiers must share one stats view."""
     stats = load_stats(index_dir)
+    block_size = int(stats.get("block_size", 128))
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
     if not terms:
         return spark.createDataFrame(
@@ -267,7 +384,8 @@ def _segment_candidates(
             out_term, out_doc, out_tf, out_dl = [], [], [], []
             for r in pdf.itertuples():
                 docs, tfs, dls = decode_posting_list(
-                    r.doc_stream, r.tf_stream, int(r.df_part), r.dl_stream
+                    r.doc_stream, r.tf_stream, int(r.df_part), r.dl_stream,
+                    block_size=block_size,
                 )
                 out_term.extend([r.term] * len(docs))
                 out_doc.extend(docs.tolist())
@@ -303,6 +421,7 @@ def bm25_topk_segments(
     b: float = BM25_B,
     use_wand: bool | None = None,
     strategy: str = "auto",
+    ranges: int | str = "auto",
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) from the compressed segment index.
 
@@ -311,36 +430,51 @@ def bm25_topk_segments(
     return identical results (WAND pruning is lossless; tested); they differ
     only in speed. use_wand=True/False is the explicit override used by the
     equivalence tests.
+
+    ranges: docID-range fan-out per query — "auto" sizes it from the
+    candidate-posting count (one range per ~2M postings, capped at 32), an
+    int forces it. All values return identical results (ranges partition
+    the doc space; tested).
     """
     if use_wand is True:
         strategy = "wand"
     elif use_wand is False:
         strategy = "exact"
     stats = load_stats(index_dir)
+    block_size = int(stats.get("block_size", 128))
     qt = query_terms(queries)
-    term_rows = qt.select("term").distinct().collect()
-    terms = [r["term"] for r in term_rows]
+    # ONE driver round-trip for both pruning literal sets (term + bucket)
+    tb_rows = (
+        qt.select("term")
+        .distinct()
+        .withColumn("bucket", _bucket_col(F.col("term"), stats["term_buckets"]))
+        .collect()
+    )
+    terms = [r["term"] for r in tb_rows]
+    buckets = sorted({r["bucket"] for r in tb_rows})
     if not terms:
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score double"
         )
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    buckets = [
-        r["bucket"]
-        for r in tdf.select(
-            _bucket_col(F.col("term"), stats["term_buckets"]).alias("bucket")
-        )
-        .distinct()
-        .collect()
-    ]
     seg = (
         spark.read.parquet(f"{index_dir}/segments")
         .filter(F.col("bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(terms))  # row-group pruning on term
     )
-    joined = seg.join(F.broadcast(qt), "term")
-    scorer = _make_scorer(stats["n_docs"], stats["avgdl"], k, k1, b, strategy)
-    scored = joined.groupBy("query_id").applyInPandas(
+    if ranges == "auto":
+        total = seg.agg(F.sum("df_part")).collect()[0][0] or 0
+        r_count = int(max(1, min(MAX_RANGES, -(-total // RANGE_TARGET_POSTINGS))))
+    else:
+        r_count = int(ranges)
+    df_map = seg.groupBy("term").agg(F.sum("df_part").alias("df_total"))
+    joined = seg.join(F.broadcast(qt), "term").join(F.broadcast(df_map), "term")
+    sliced = _slice_to_ranges(spark, joined, r_count, block_size)
+    scorer = _make_scorer(
+        stats["n_docs"], stats["avgdl"], k, k1, b, strategy, block_size
+    )
+    scored = sliced.groupBy("query_id", "range_id").applyInPandas(
         scorer, "query_id string, doc_id long, score double"
     )
+    # exact merge: ranges partition docIDs, so the union of per-range
+    # partials contains every candidate doc exactly once
     return topk_window(scored, k)

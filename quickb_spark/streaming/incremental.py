@@ -164,20 +164,70 @@ def query_with_deltas(
     return topk_window(scored, k)
 
 
+def _fold_marker(index_dir: str) -> str:
+    return os.path.join(index_dir, "meta", "fold_commit.json")
+
+
+def _finish_fold(index_dir: str, touched: list[int]) -> None:
+    """Commit point passed: swap staged bucket dirs into the flat checkpoint
+    and clear deltas/stale metadata. Every step is idempotent, so a crashed
+    fold resumes here from the marker and converges to exactly-once."""
+    import shutil
+
+    flat_dir = os.path.join(index_dir, "flat")
+    stage_dir = os.path.join(index_dir, "flat_stage")
+    # delta dirs first: once the marker exists, the staged merge is the
+    # single source of truth for the touched buckets — a retry must never
+    # union deltas in a second time
+    shutil.rmtree(_delta_dir(index_dir), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "stream_checkpoint"), ignore_errors=True)
+    for b in touched:
+        staged = os.path.join(stage_dir, f"bucket={b}")
+        if os.path.isdir(staged):  # not yet swapped by a prior attempt
+            live = os.path.join(flat_dir, f"bucket={b}")
+            shutil.rmtree(live, ignore_errors=True)
+            os.replace(staged, live)
+    stats_path = os.path.join(index_dir, "meta", "stats.json")
+    if os.path.exists(stats_path):
+        os.remove(stats_path)
+    for b in touched:
+        if os.path.exists(_meta_path(index_dir, b)):
+            os.remove(_meta_path(index_dir, b))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.remove(_fold_marker(index_dir))
+
+
 def fold_deltas_into_index(
     spark: SparkSession,
     index_dir: str,
     cfg: EngineConfig | None = None,
 ) -> int:
     """Compact deltas into the base: merge into the flat checkpoint, then
-    re-encode only the buckets the deltas touched. Returns #buckets redone."""
+    re-encode only the buckets the deltas touched. Returns #buckets redone.
+
+    Crash-safe (exactly-once): the merge lands in a STAGING dir (never a
+    read-and-overwrite of the live checkpoint), then a fold-commit marker is
+    written atomically; only after the marker do deltas get deleted and the
+    staged buckets swapped in. A crash before the marker leaves the live
+    index + deltas untouched; a crash after it is finished idempotently by
+    the next call via the marker."""
     cfg = cfg or EngineConfig()
+    from quickb_spark.index.segments import build_index
+
+    # finish a previously crashed fold before looking at new deltas
+    if os.path.exists(_fold_marker(index_dir)):
+        with open(_fold_marker(index_dir)) as f:
+            prev = json.load(f)["touched"]
+        _finish_fold(index_dir, prev)
+        build_index(spark, index_dir=index_dir, cfg=cfg)
+
     delta = _delta_flat(spark, index_dir)
     if delta is None:
         return 0
     flat_dir = os.path.join(index_dir, "flat")
+    stage_dir = os.path.join(index_dir, "flat_stage")
     touched = [
-        r["bucket"] for r in delta.select("bucket").distinct().collect()
+        int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
     ]
     merged = (
         spark.read.parquet(flat_dir)
@@ -185,25 +235,12 @@ def fold_deltas_into_index(
         .unionByName(delta.drop("ingest_batch"))
         .repartition(max(len(touched), 1), "bucket")
     )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(flat_dir)
-    )
-    # stats + affected bucket metas are now stale: recompute stats, drop the
-    # touched buckets' metas, and let build_index's resume path re-encode them
-    import shutil
-
-    stats_path = os.path.join(index_dir, "meta", "stats.json")
-    os.remove(stats_path)
-    for b in touched:
-        if os.path.exists(_meta_path(index_dir, b)):
-            os.remove(_meta_path(index_dir, b))
-    shutil.rmtree(_delta_dir(index_dir), ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "stream_checkpoint"), ignore_errors=True)
-
-    from quickb_spark.index.segments import build_index
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
+    marker_tmp = _fold_marker(index_dir) + ".tmp"
+    with open(marker_tmp, "w") as f:
+        json.dump({"touched": touched}, f)
+    os.replace(marker_tmp, _fold_marker(index_dir))  # atomic commit point
+    _finish_fold(index_dir, touched)
 
     # no input DataFrame: the merged phase-1 checkpoint already exists, so
     # build_index only recomputes stats and re-encodes the meta-less buckets

@@ -79,7 +79,9 @@ def test_segments_decode_to_oracle_postings(spark, built, oracle):
     got: dict[str, dict[int, int]] = {}
     salts: dict[str, int] = {}
     for r in seg:
-        docs, tfs = decode_posting_list(r["doc_stream"], r["tf_stream"], r["df_part"])
+        docs, tfs = decode_posting_list(
+            r["doc_stream"], r["tf_stream"], r["df_part"], block_size=CFG.index.block_size
+        )
         plist = got.setdefault(r["term"], {})
         for d, tf in zip(docs.tolist(), tfs.tolist()):
             assert d not in plist, "salted sub-lists must be disjoint"
@@ -92,6 +94,24 @@ def test_segments_decode_to_oracle_postings(spark, built, oracle):
     # skew test: `def` (in most python docs) must actually have been salted
     assert salts.get("def", 0) > 0, f"hot term not salted (salts: def={salts.get('def')})"
     assert salts.get("zzz", -1) in (-1, 0)
+
+
+def test_segment_positions_roundtrip_to_oracle(spark, built, oracle):
+    """pos_stream (map-side varbyte'd in flatten.py, concatenated by the
+    encoder) must decode to the oracle's exact token positions per doc."""
+    from quickb_spark.index.encode import decode_positions
+
+    seg = spark.read.parquet(f"{built}/segments").collect()
+    checked = 0
+    for r in seg:
+        docs, tfs = decode_posting_list(
+            r["doc_stream"], r["tf_stream"], r["df_part"], block_size=CFG.index.block_size
+        )
+        plists = decode_positions(r["pos_stream"], tfs)
+        for d, p in zip(docs.tolist(), plists):
+            assert p.tolist() == oracle.postings[r["term"]][d], (r["term"], d)
+            checked += 1
+    assert checked > 1000  # the corpus is non-trivial
 
 
 def test_wand_matches_naive_and_oracle(spark, built, oracle):
@@ -124,6 +144,27 @@ def test_wand_matches_naive_and_oracle(spark, built, oracle):
             assert abs(sa - se) < 1e-6
         hits += bool(expected)
     assert hits >= 40
+
+
+@pytest.mark.parametrize("r_count", [2, 8, 32])
+def test_range_fanout_is_exact(spark, built, r_count):
+    """docID-range parallel serving must be bit-identical to the
+    single-range plan, for both scorer strategies (slices are decoded via
+    the per-block byte offsets + absolute delta resets, then trimmed)."""
+    qdf = spark.createDataFrame(fixture_queries(), ["query_id", "query_text"])
+    base = sorted(
+        map(tuple, bm25_topk_segments(spark, built, qdf, k=10, ranges=1).collect())
+    )
+    for use_wand in (True, False):
+        got = sorted(
+            map(
+                tuple,
+                bm25_topk_segments(
+                    spark, built, qdf, k=10, use_wand=use_wand, ranges=r_count
+                ).collect(),
+            )
+        )
+        assert got == base, (r_count, use_wand)
 
 
 def test_wand_prunes(built):
