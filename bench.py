@@ -5,16 +5,21 @@ Env:
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
 
 Headline queries:
-  q_index_build   corpus -> chunk -> flat postings + stats, written to parquet
-                  (the north-star indexing-throughput metric; files/sec derived)
-  q_bm25_batch    50-query BM25 top-k batch over the built index
+  q_index_build   THE north-star metric: the real engine build — fused
+                  chunk+tokenize, salted bucketed checkpoint, delta+varbyte
+                  block-max segments (files/sec derived from it)
+  q_wand_batch    50-query BM25 top-k batch over the compressed segment
+                  index (docID-range-parallel WAND serving)
+  q_bm25_batch    same batch through the declarative flat-postings plan
   q_bm25_chunked  full path incl. chunking at gate scale
   q_dedup_lsh     minhash signatures + banded LSH candidate pairs
-  q_jaccard       exact 3-gram Jaccard pairs
+  q_jaccard       exact 3-gram Jaccard pairs (df-capped skew guard)
   q_knn           brute-force cosine top-k over embeddings
 
-Run `python bench/scaling.py` for the two-parallelism (N vs 4N cores)
-scaling-efficiency report written to BENCH/BASELINE.md.
+A miniature build+query warms JVM codegen/JIT and the Python worker pool
+first, so timings measure the jobs, not process startup (same protocol as
+bench/scaling.py). Run `python bench/scaling.py` for the two-parallelism
+(N vs 4N cores) scaling-efficiency report written to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -37,7 +42,15 @@ def build_session(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # sandbox corpora are many tiny parquet files; defaults would
+        # coalesce them into a couple of scan partitions and serialize the
+        # Python-UDF stages (moot at production file sizes)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # shuffle on local tmp disks: compression burns contended CPU
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         .getOrCreate()
     )
 
@@ -50,14 +63,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from quickb_spark import gate
+    from quickb_spark.config import EngineConfig, IndexConfig
     from quickb_spark.corpus import fixture_queries
-    from quickb_spark.index.build import (
-        build_doc_stats,
-        build_flat_postings,
-        build_term_stats,
-        corpus_stats,
-    )
+    from quickb_spark.index.segments import build_index
     from quickb_spark.query.bm25 import bm25_topk_flat
+    from quickb_spark.query.wand import bm25_topk_segments
 
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,28 +84,41 @@ def main() -> None:
 
         return _T()
 
-    # Warm the JVM + Python workers so timings measure the jobs, not startup.
+    cfg = EngineConfig(
+        index=IndexConfig(
+            hot_term_doc_fraction=0.05,
+            hot_term_min_df=500,
+            salt_buckets=16,
+            term_buckets=64,
+        )
+    )
+
     docs_src = gate.load(spark, sf_dir, "documents")
     n_files = docs_src.count()
-
-    corpus = gate._as_corpus(spark, sf_dir)
-
-    with timed("q_index_build"):
-        from quickb_spark.chunking import chunk_documents
-
-        chunks = chunk_documents(corpus)
-        flat = build_flat_postings(chunks)
-        flat.write.mode("overwrite").parquet(f"{tmp}/postings")
-        flat_r = spark.read.parquet(f"{tmp}/postings")
-        build_doc_stats(flat_r).write.mode("overwrite").parquet(f"{tmp}/doc_stats")
-        build_term_stats(flat_r).write.mode("overwrite").parquet(f"{tmp}/term_stats")
-
-    flat_r = spark.read.parquet(f"{tmp}/postings")
-    doc_stats = spark.read.parquet(f"{tmp}/doc_stats").cache()
-    term_stats = spark.read.parquet(f"{tmp}/term_stats").cache()
-    n, avgdl = corpus_stats(doc_stats)
-
+    corpus = gate._as_corpus(spark, sf_dir).repartition(cpus * 2)
     qdf = spark.createDataFrame(fixture_queries(), ["query_id", "query_text"])
+
+    # warm-up: miniature full build + query (JIT/codegen + worker pool)
+    warm_idx = f"{tmp}/warm_index"
+    build_index(spark, index_dir=warm_idx, cfg=cfg, documents=corpus.limit(500))
+    bm25_topk_segments(spark, warm_idx, qdf.limit(4), k=10).count()
+    shutil.rmtree(warm_idx, ignore_errors=True)
+
+    idx = f"{tmp}/index"
+    with timed("q_index_build"):
+        build_index(spark, index_dir=idx, cfg=cfg, documents=corpus)
+
+    with timed("q_wand_batch"):
+        bm25_topk_segments(spark, idx, qdf, k=10).count()
+
+    # declarative flat plan over the build's own checkpoint (no re-tokenize)
+    flat_r = spark.read.parquet(f"{idx}/flat").select("term", "doc_id", "tf")
+    doc_stats = spark.read.parquet(f"{idx}/doc_stats").cache()
+    term_stats = flat_r.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    ).cache()
+    row = doc_stats.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len")).collect()[0]
+    n, avgdl = int(row[0]), float(row[1] or 0.0)
     with timed("q_bm25_batch"):
         bm25_topk_flat(flat_r, term_stats, doc_stats, qdf, n, avgdl, k=10).collect()
 

@@ -8,8 +8,13 @@ Cluster usage (north rule: multi-executor, --py-files):
       jobs/build_index.py \\
       --input <documents table path or parquet dir> \\
       --index-dir <output index root> \\
-      [--format parquet|iceberg] [--term-buckets 4096] [--salt-buckets 64] \\
-      [--wave-size 256] [--resume]
+      [--input-format parquet|iceberg] [--term-buckets 4096] \\
+      [--salt-buckets 64] [--wave-size 256] [--resume]
+
+The INPUT may be an Iceberg table (needs the iceberg-spark runtime jar on
+the cluster). The index itself is written as bucket-partitioned parquet
+directories — an Iceberg-ready layout (identity partitioning on `bucket`),
+not an Iceberg table.
 
 The job is resumable: rerunning with the same --index-dir skips the phase-1
 checkpoint and any bucket whose meta is committed (crash-safe by
@@ -29,7 +34,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents table location")
     ap.add_argument("--index-dir", required=True)
-    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument(
+        "--input-format", default="parquet", choices=["parquet", "iceberg"]
+    )
     ap.add_argument("--term-buckets", type=int, default=64)
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--hot-min-df", type=int, default=10_000)
@@ -53,7 +60,7 @@ def main() -> None:
             store_positions=not args.no_positions,
         )
     )
-    if args.format == "iceberg":
+    if args.input_format == "iceberg":
         docs = spark.read.format("iceberg").load(args.input)
     else:
         docs = spark.read.parquet(args.input)

@@ -89,6 +89,50 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4: documents -> JSON-array file (the reference's interchange
+    format, src/main.py:253-257) -> read back (:168-181 shape check). The
+    oracle is the identity projection over the source table, so the gate
+    proves the round trip is lossless."""
+    from quickb_spark.sources import read_json_array, write_json_array
+
+    docs = gate.load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = os.path.join(tempfile.mkdtemp(prefix="qkb_json_"), "kb.json")
+    write_json_array(docs, path)
+    return read_json_array(
+        spark, path, required_cols=("doc_id", "lang", "n_chars"),
+        schema="doc_id long, lang string, n_chars long",
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_fixed_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: fixed token-window chunking via the registry (rows-only; the
+    byte-identity oracle vs the reference algorithm is tests/test_fixed_token.py)."""
+    from quickb_spark.chunking.registry import chunk_documents_with
+
+    return chunk_documents_with("FixedTokenChunker", gate._as_corpus(spark, sf_dir))
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: retrieval-eval metrics (reference train.py:70-76 evaluator) over
+    the gate BM25 ranking. Golden pairs are derived deterministically on
+    BOTH engines: a doc is relevant to a query iff the raw query string
+    occurs in its lowercased text (at production scale golden sets arrive
+    precomputed; the containment rule just makes the gate self-contained)."""
+    from quickb_spark.ops.ireval import ir_eval_metrics
+
+    preds = gate.q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    docs = gate.load(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(gate.GATE_QUERIES, ["query_id", "query_text"])
+    golden = (
+        docs.select("doc_id", "text")
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.expr("instr(lower(text), query_text) > 0"))
+        .select("query_id", "doc_id")
+    )
+    return ir_eval_metrics(preds, golden)
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C13: JSON field extraction from the props column."""
     ev = gate.load(spark, sf_dir, "events")
@@ -179,7 +223,74 @@ def q_seeded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
 
+def _idcg_lut_values(k: int) -> str:
+    """(m, ideal-DCG over m positions) pairs, summed left-to-right exactly
+    like the Spark-side F.aggregate, so the doubles are bit-identical."""
+    import math
+
+    rows, acc = [], 0.0
+    for m in range(1, k + 1):
+        acc = acc + 1.0 / math.log2(m + 1)
+        rows.append(f"({m}, {acc!r})")
+    return ", ".join(rows)
+
+
+def _eval_metrics_sql() -> str:
+    g4 = "floor(CAST(({}) AS DOUBLE) * 10000 + 0.5) / 10000"
+    ks = (1, 3, 5, 10)
+    hit_cols = ",\n    ".join(
+        f"sum(CASE WHEN rank <= {k} THEN rel ELSE 0 END) AS hits_{k}" for k in ks
+    )
+    metric_cols = ",\n  ".join(
+        [
+            f"{g4.format(f'avg(CASE WHEN hits_{k} > 0 THEN 1.0 ELSE 0.0 END)')} AS accuracy_{k}, "
+            f"{g4.format(f'avg(CAST(hits_{k} AS DOUBLE) / {k})')} AS precision_{k}, "
+            f"{g4.format(f'avg(CAST(hits_{k} AS DOUBLE) / n_rel)')} AS recall_{k}"
+            for k in ks
+        ]
+    )
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {gate._QUERY_VALUES}),
+preds AS ({gate.ORACLE_SQL['t1_bm25_topk']}),
+golden AS (
+  SELECT q.query_id, d.doc_id FROM q
+  JOIN documents d ON instr(lower(d.text), q.query_text) > 0),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM golden GROUP BY query_id),
+h AS (
+  SELECT p.query_id, p.rank,
+         CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM preds p LEFT JOIN golden g
+    ON g.query_id = p.query_id AND g.doc_id = p.doc_id),
+h2 AS (
+  SELECT h.query_id, h.rank, h.rel, n.n_rel,
+         sum(h.rel) OVER (PARTITION BY h.query_id ORDER BY h.rank) AS cum_hits
+  FROM h JOIN nrel n ON n.query_id = h.query_id),
+perq AS (
+  SELECT query_id, max(n_rel) AS n_rel,
+    {hit_cols},
+    min(CASE WHEN rel = 1 AND rank <= 10 THEN rank END) AS first_rel,
+    sum(CASE WHEN rel = 1 AND rank <= 10 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+    sum(CASE WHEN rel = 1 AND rank <= 100 THEN CAST(cum_hits AS DOUBLE) / rank ELSE 0.0 END) AS ap_num
+  FROM h2 GROUP BY query_id),
+idcg_lut(m, idcg) AS (VALUES {_idcg_lut_values(10)}),
+perq2 AS (
+  SELECT perq.*, idcg_lut.idcg
+  FROM perq JOIN idcg_lut ON idcg_lut.m = least(perq.n_rel, 10))
+SELECT
+  {metric_cols},
+  {g4.format("avg(coalesce(1.0 / first_rel, 0.0))")} AS mrr_10,
+  {g4.format("avg(dcg / idcg)")} AS ndcg_10,
+  {g4.format("avg(ap_num / least(n_rel, 100))")} AS map_100,
+  count(*) AS n_queries
+FROM perq2
+"""
+
+
 ORACLE_SQL_EXT: dict[str, str] = {
+    "t4_eval_metrics": _eval_metrics_sql(),
+    "s3_json_roundtrip": (
+        "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents"
+    ),
     "u1_except_ids": (
         "SELECT doc_id FROM documents EXCEPT ALL "
         "SELECT vec_id AS doc_id FROM embeddings WHERE vec_id % 2 = 0"
@@ -223,6 +334,8 @@ ORACLE_SQL_EXT: dict[str, str] = {
 }
 
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t4_eval_metrics": q_eval_metrics,
+    "s3_json_roundtrip": q_json_roundtrip,
     "u1_except_ids": q_except_ids,
     "c10_neighbor_window": q_neighbor_window,
     "m5_value_delta": q_value_delta,
@@ -230,6 +343,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_sessionize": q_sessionize,
     "c13_json_extract": q_json_extract,
     # rows-only:
+    "c5_fixed_token_chunks": q_fixed_token_chunks,
     "t1_wand_segments": q_wand_segments,
     "s10_segments_meta": q_segments_meta,
     "mm_media_features": q_media_features,

@@ -70,6 +70,7 @@ from pyspark.sql.types import (
 import numpy as np
 
 from quickb_spark.config import EngineConfig
+from quickb_spark.fs import IndexFS, join_path
 from quickb_spark.index.encode import encode_posting_list
 from quickb_spark.index.flatten import (
     flat_postings_from_chunks,
@@ -223,7 +224,7 @@ def _partition_encoder(cfg: EngineConfig):
 
 
 def _meta_path(index_dir: str, bucket: int) -> str:
-    return os.path.join(index_dir, "meta", f"bucket_{bucket:05d}.json")
+    return join_path(index_dir, "meta", f"bucket_{bucket:05d}.json")
 
 
 def build_index(
@@ -255,16 +256,20 @@ def build_index(
             now = time.perf_counter()
             print(f"[build_index] {label}: {now - _t0:.1f}s", flush=True)
             _t0 = now
-    os.makedirs(os.path.join(index_dir, "meta"), exist_ok=True)
-    flat_dir = os.path.join(index_dir, "flat")
-    stats_path = os.path.join(index_dir, "meta", "stats.json")
+    # ALL side-file I/O (markers, meta JSONs, stats) goes through the
+    # Hadoop FileSystem of the index dir, so hdfs:///s3a:///file:// index
+    # roots resume exactly like local ones
+    fs = IndexFS(index_dir or ".", spark)
+    fs.mkdirs(join_path(index_dir, "meta"))
+    flat_dir = join_path(index_dir, "flat")
+    stats_path = join_path(index_dir, "meta", "stats.json")
 
     # ---- phase 1: one tokenize pass straight into the bucketed checkpoint
     # (bucket = f(term) only, so salting can be applied lazily in phase 2;
     # no .persist() — the checkpoint parquet IS the reuse point, which also
     # holds at 100 TB where executor memory could never cache the postings)
     p1_metrics: dict | None = None
-    if not os.path.exists(os.path.join(flat_dir, "_SUCCESS")):
+    if not fs.exists(join_path(flat_dir, "_SUCCESS")):
         if chunks is None and documents is None:
             raise ValueError(
                 "no input DataFrame and no existing flat checkpoint at "
@@ -301,28 +306,29 @@ def build_index(
     _mark("phase1 flat checkpoint")
 
     # ---- phase 1b: doc stats + hot-term detection ------------------------
-    if not os.path.exists(stats_path):
+    if not fs.exists(stats_path):
         flat_r = spark.read.parquet(flat_dir)
         # doc-level stats via the `first` marker: a narrow filtered scan of
         # the checkpoint — no distinct-shuffle over all postings
         flat_r.filter(F.col("first") == 1).select("doc_id", "doc_len").write.mode(
             "overwrite"
-        ).parquet(os.path.join(index_dir, "doc_stats"))
+        ).parquet(join_path(index_dir, "doc_stats"))
         if p1_metrics is not None:
             n_docs = p1_metrics["n_docs"]
             avgdl = p1_metrics["sum_dl"] / n_docs if n_docs else 0.0
             total_postings = p1_metrics["n_postings"]
         else:  # resume path: phase 1 done in a previous process
             row = (
-                spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+                spark.read.parquet(join_path(index_dir, "doc_stats"))
                 .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
                 .collect()[0]
             )
             n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
             total_postings = flat_r.count()  # parquet metadata-only count
         hot = _detect_hot_terms(flat_r, n_docs, total_postings, cfg)
-        with open(stats_path + ".tmp", "w") as f:
-            json.dump(
+        fs.write_text_atomic(
+            stats_path,
+            json.dumps(
                 {
                     "n_docs": n_docs,
                     "avgdl": avgdl,
@@ -331,22 +337,20 @@ def build_index(
                     "salt_buckets": cfg.index.salt_buckets,
                     "block_size": cfg.index.block_size,
                     "hot_terms": hot,
-                },
-                f,
-            )
-        os.replace(stats_path + ".tmp", stats_path)
+                }
+            ),
+        )
 
     _mark("phase1b stats")
 
-    with open(stats_path) as f:
-        _stats = json.load(f)
+    _stats = json.loads(fs.read_text(stats_path))
     hot_terms = set(_stats["hot_terms"])
 
     # ---- phase 2: per-bucket-wave encode, idempotent, resumable ----------
-    pending = [b for b in range(nb) if not os.path.exists(_meta_path(index_dir, b))]
+    pending = [b for b in range(nb) if not fs.exists(_meta_path(index_dir, b))]
     flat_all = spark.read.parquet(flat_dir)
     encoder = _partition_encoder(cfg)
-    segments_dir = os.path.join(index_dir, "segments")
+    segments_dir = join_path(index_dir, "segments")
     # sub-partitions per bucket: scales encode AND write parallelism with
     # cores, and bounds each partition's sort buffer
     g = max(1, math.ceil(cores * 8 / nb))
@@ -412,21 +416,18 @@ def build_index(
                 "status": "done",
                 "committed_at": time.time(),
             }
-            tmp = _meta_path(index_dir, b) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, _meta_path(index_dir, b))  # atomic commit
+            fs.write_text_atomic(_meta_path(index_dir, b), json.dumps(meta))
         _mark("phase2 meta commits")
 
 
 def segments_meta(spark: SparkSession, index_dir: str) -> DataFrame:
     """Per-partition lineage + metrics as a DataFrame (FIXTURES.md §6)."""
+    fs = IndexFS(index_dir, spark)
     rows = []
-    meta_dir = os.path.join(index_dir, "meta")
-    for name in sorted(os.listdir(meta_dir)):
+    meta_dir = join_path(index_dir, "meta")
+    for name in fs.listdir(meta_dir):
         if name.startswith("bucket_") and name.endswith(".json"):
-            with open(os.path.join(meta_dir, name)) as f:
-                rows.append(json.load(f))
+            rows.append(json.loads(fs.read_text(join_path(meta_dir, name))))
     schema = (
         "segment_id string, partition_id int, salt int, term_count long, "
         "posting_count long, input_rows long, build_time_ms long, "
@@ -436,5 +437,10 @@ def segments_meta(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def load_stats(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "meta", "stats.json")) as f:
+    from pyspark.sql import SparkSession
+
+    stats_path = join_path(index_dir, "meta", "stats.json")
+    if SparkSession.getActiveSession() is not None:
+        return json.loads(IndexFS(index_dir).read_text(stats_path))
+    with open(stats_path) as f:  # no session: plain local fallback
         return json.load(f)

@@ -1,1 +1,1 @@
-from quickb_spark.ops import dedup, similarity, textstats  # noqa: F401
+from quickb_spark.ops import dedup, ireval, multimodal, similarity, textstats  # noqa: F401

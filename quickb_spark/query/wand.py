@@ -294,58 +294,79 @@ def _slice_to_ranges(
             "tf_stream",
             "dl_stream",
         )
-    ranges = spark.createDataFrame(
-        _range_bounds(r_count), "range_id int, lo long, hi long"
-    )
-    x = joined.crossJoin(F.broadcast(ranges))
+    # Per-range block bounds are computed ONCE per (row, range) inside one
+    # array expression and materialized through explode() — a generator is
+    # an optimizer barrier, so the O(#blocks) filters can't be re-inlined
+    # into every downstream column (projection collapse would otherwise
+    # re-evaluate them ~10x per row).
     nb = F.size("block_last_doc")
-    b_lo = F.size(F.filter("block_last_doc", lambda v: v < F.col("lo")))
-    b_hi = F.least(
-        nb, F.size(F.filter("block_last_doc", lambda v: v <= F.col("hi"))) + F.lit(1)
+    range_lits = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("range_id"),
+                F.lit(lo).alias("lo"),
+                F.lit(hi).alias("hi"),
+            )
+            for r, lo, hi in _range_bounds(r_count)
+        ]
     )
-    x = (
-        x.withColumn("b_lo", b_lo)
-        .withColumn("b_hi", b_hi)
-        .filter(F.col("b_lo") < F.col("b_hi"))
+    slices = F.filter(
+        F.transform(
+            range_lits,
+            lambda rb: F.struct(
+                rb["range_id"].alias("range_id"),
+                rb["lo"].alias("lo"),
+                rb["hi"].alias("hi"),
+                F.size(
+                    F.filter("block_last_doc", lambda v: v < rb["lo"])
+                ).alias("b_lo"),
+                F.least(
+                    nb,
+                    F.size(F.filter("block_last_doc", lambda v: v <= rb["hi"]))
+                    + F.lit(1),
+                ).alias("b_hi"),
+            ),
+        ),
+        lambda s: s["b_lo"] < s["b_hi"],
+    )
+    x = joined.select(
+        "query_id",
+        "term",
+        "df_total",
+        "df_part",
+        "doc_stream",
+        "tf_stream",
+        "dl_stream",
+        "block_doc_off",
+        "block_tf_off",
+        "block_dl_off",
+        F.explode(slices).alias("rs"),
     )
 
-    # materialize slice start/length columns (expr() needs named columns)
-    for stream, off in (
-        ("doc_stream", "block_doc_off"),
-        ("tf_stream", "block_tf_off"),
-        ("dl_stream", "block_dl_off"),
-    ):
-        start = F.element_at(off, F.col("b_lo") + 1)
+    def sub(stream: str, off: str):
+        start = F.element_at(off, F.col("rs.b_lo") + 1)
         end = F.when(
-            F.col("b_hi") < F.size(off), F.element_at(off, F.col("b_hi") + 1)
+            F.col("rs.b_hi") < F.size(off), F.element_at(off, F.col("rs.b_hi") + 1)
         ).otherwise(F.length(stream).cast("long"))
-        x = x.withColumn(f"_s_{stream}", start).withColumn(
-            f"_l_{stream}", end - start
+        return F.col(stream).substr(
+            (start + 1).cast("int"), (end - start).cast("int")
         )
+
     n_sub = (
-        F.least(F.col("df_part"), F.col("b_hi").cast("long") * block_size)
-        - F.col("b_lo").cast("long") * block_size
+        F.least(F.col("df_part"), F.col("rs.b_hi").cast("long") * block_size)
+        - F.col("rs.b_lo").cast("long") * block_size
     )
     return x.select(
         "query_id",
         "term",
         "df_total",
-        "range_id",
-        "lo",
-        "hi",
+        F.col("rs.range_id").alias("range_id"),
+        F.col("rs.lo").alias("lo"),
+        F.col("rs.hi").alias("hi"),
         n_sub.alias("n_sub"),
-        F.expr(
-            "substring(doc_stream, CAST(_s_doc_stream + 1 AS INT),"
-            " CAST(_l_doc_stream AS INT))"
-        ).alias("doc_stream"),
-        F.expr(
-            "substring(tf_stream, CAST(_s_tf_stream + 1 AS INT),"
-            " CAST(_l_tf_stream AS INT))"
-        ).alias("tf_stream"),
-        F.expr(
-            "substring(dl_stream, CAST(_s_dl_stream + 1 AS INT),"
-            " CAST(_l_dl_stream AS INT))"
-        ).alias("dl_stream"),
+        sub("doc_stream", "block_doc_off").alias("doc_stream"),
+        sub("tf_stream", "block_tf_off").alias("tf_stream"),
+        sub("dl_stream", "block_dl_off").alias("dl_stream"),
     )
 
 

@@ -25,13 +25,13 @@ interval bounds staleness instead.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from quickb_spark.config import BM25_B, BM25_K1, EngineConfig
+from quickb_spark.fs import IndexFS, join_path
 from quickb_spark.index.flatten import flat_postings_from_documents
 from quickb_spark.index.segments import _bucket_col, _meta_path, load_stats
 
@@ -43,7 +43,7 @@ __all__ = [
 
 
 def _delta_dir(index_dir: str) -> str:
-    return os.path.join(index_dir, "flat_delta")
+    return join_path(index_dir, "flat_delta")
 
 
 def start_incremental_ingest(
@@ -76,7 +76,7 @@ def start_incremental_ingest(
 
     writer = stream_docs.writeStream.foreachBatch(sink).option(
         "checkpointLocation",
-        checkpoint or os.path.join(index_dir, "stream_checkpoint"),
+        checkpoint or join_path(index_dir, "stream_checkpoint"),
     )
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
@@ -86,9 +86,10 @@ def start_incremental_ingest(
 
 
 def _delta_flat(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    fs = IndexFS(index_dir, spark)
     d = _delta_dir(index_dir)
-    if not os.path.isdir(d) or not any(
-        n.startswith("ingest_batch=") for n in os.listdir(d)
+    if not fs.exists(d) or not any(
+        n.startswith("ingest_batch=") for n in fs.listdir(d)
     ):
         return None
     return spark.read.parquet(d)
@@ -165,36 +166,32 @@ def query_with_deltas(
 
 
 def _fold_marker(index_dir: str) -> str:
-    return os.path.join(index_dir, "meta", "fold_commit.json")
+    return join_path(index_dir, "meta", "fold_commit.json")
 
 
-def _finish_fold(index_dir: str, touched: list[int]) -> None:
+def _finish_fold(fs: IndexFS, index_dir: str, touched: list[int]) -> None:
     """Commit point passed: swap staged bucket dirs into the flat checkpoint
     and clear deltas/stale metadata. Every step is idempotent, so a crashed
     fold resumes here from the marker and converges to exactly-once."""
-    import shutil
-
-    flat_dir = os.path.join(index_dir, "flat")
-    stage_dir = os.path.join(index_dir, "flat_stage")
+    flat_dir = join_path(index_dir, "flat")
+    stage_dir = join_path(index_dir, "flat_stage")
     # delta dirs first: once the marker exists, the staged merge is the
     # single source of truth for the touched buckets — a retry must never
     # union deltas in a second time
-    shutil.rmtree(_delta_dir(index_dir), ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "stream_checkpoint"), ignore_errors=True)
+    fs.delete(_delta_dir(index_dir))
+    fs.delete(join_path(index_dir, "stream_checkpoint"))
     for b in touched:
-        staged = os.path.join(stage_dir, f"bucket={b}")
-        if os.path.isdir(staged):  # not yet swapped by a prior attempt
-            live = os.path.join(flat_dir, f"bucket={b}")
-            shutil.rmtree(live, ignore_errors=True)
-            os.replace(staged, live)
-    stats_path = os.path.join(index_dir, "meta", "stats.json")
-    if os.path.exists(stats_path):
-        os.remove(stats_path)
+        staged = join_path(stage_dir, f"bucket={b}")
+        if fs.exists(staged):  # not yet swapped by a prior attempt
+            fs.rename(staged, join_path(flat_dir, f"bucket={b}"))
+    stats_path = join_path(index_dir, "meta", "stats.json")
+    if fs.exists(stats_path):
+        fs.delete(stats_path, recursive=False)
     for b in touched:
-        if os.path.exists(_meta_path(index_dir, b)):
-            os.remove(_meta_path(index_dir, b))
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    os.remove(_fold_marker(index_dir))
+        if fs.exists(_meta_path(index_dir, b)):
+            fs.delete(_meta_path(index_dir, b), recursive=False)
+    fs.delete(stage_dir)
+    fs.delete(_fold_marker(index_dir), recursive=False)
 
 
 def fold_deltas_into_index(
@@ -214,18 +211,18 @@ def fold_deltas_into_index(
     cfg = cfg or EngineConfig()
     from quickb_spark.index.segments import build_index
 
+    fs = IndexFS(index_dir, spark)
     # finish a previously crashed fold before looking at new deltas
-    if os.path.exists(_fold_marker(index_dir)):
-        with open(_fold_marker(index_dir)) as f:
-            prev = json.load(f)["touched"]
-        _finish_fold(index_dir, prev)
+    if fs.exists(_fold_marker(index_dir)):
+        prev = json.loads(fs.read_text(_fold_marker(index_dir)))["touched"]
+        _finish_fold(fs, index_dir, prev)
         build_index(spark, index_dir=index_dir, cfg=cfg)
 
     delta = _delta_flat(spark, index_dir)
     if delta is None:
         return 0
-    flat_dir = os.path.join(index_dir, "flat")
-    stage_dir = os.path.join(index_dir, "flat_stage")
+    flat_dir = join_path(index_dir, "flat")
+    stage_dir = join_path(index_dir, "flat_stage")
     touched = [
         int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
     ]
@@ -236,11 +233,10 @@ def fold_deltas_into_index(
         .repartition(max(len(touched), 1), "bucket")
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
-    marker_tmp = _fold_marker(index_dir) + ".tmp"
-    with open(marker_tmp, "w") as f:
-        json.dump({"touched": touched}, f)
-    os.replace(marker_tmp, _fold_marker(index_dir))  # atomic commit point
-    _finish_fold(index_dir, touched)
+    fs.write_text_atomic(
+        _fold_marker(index_dir), json.dumps({"touched": touched})
+    )  # atomic commit point
+    _finish_fold(fs, index_dir, touched)
 
     # no input DataFrame: the merged phase-1 checkpoint already exists, so
     # build_index only recomputes stats and re-encodes the meta-less buckets

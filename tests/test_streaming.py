@@ -76,6 +76,58 @@ def test_ingest_query_compact_equivalence(spark, dirs, tmp_path_factory):
     assert _collect_ranked(query_with_deltas(spark, idx, qdf, k=10)) == expected
 
 
+def test_fold_crash_recovery_exactly_once(spark, tmp_path):
+    """A fold that crashes AFTER its commit marker (staged merge written,
+    deltas not yet cleared, buckets not swapped) must converge to exactly
+    the same index on the next fold call — deltas must never be folded in
+    twice (the round-1 double-union hazard)."""
+    from quickb_spark.corpus import DOCUMENTS_SCHEMA
+    from quickb_spark.streaming.incremental import _fold_marker
+
+    base = generate_documents_df(spark, 80, seed=5, partitions=2)
+    alldocs = generate_documents_df(spark, 110, seed=5, partitions=2)
+    new = alldocs.exceptAll(base)
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, index_dir=idx, cfg=CFG, documents=base)
+    src = str(tmp_path / "in")
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
+    start_incremental_ingest(spark, stream, idx, CFG).awaitTermination(120)
+
+    # simulate the crash point: run the pre-commit part manually — staged
+    # merge + marker exist, but deltas/buckets/metas untouched
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from quickb_spark.fs import IndexFS, join_path
+
+    fs = IndexFS(idx, spark)
+    delta = spark.read.parquet(join_path(idx, "flat_delta"))
+    touched = [int(r["bucket"]) for r in delta.select("bucket").distinct().collect()]
+    merged = (
+        spark.read.parquet(join_path(idx, "flat"))
+        .filter(F.col("bucket").isin(touched))
+        .unionByName(delta.drop("ingest_batch"))
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        join_path(idx, "flat_stage")
+    )
+    fs.write_text_atomic(_fold_marker(idx), _json.dumps({"touched": touched}))
+    # "crash" here — now the public API must recover and finish exactly-once
+    n = fold_deltas_into_index(spark, idx, CFG)
+    assert n == 0  # the interrupted fold consumed all deltas; no new ones
+    assert not fs.exists(_fold_marker(idx))
+    assert not fs.exists(join_path(idx, "flat_stage"))
+
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, index_dir=fresh, cfg=CFG, documents=alldocs)
+    qdf = spark.createDataFrame(fixture_queries()[:10], ["query_id", "query_text"])
+    got = _collect_ranked(bm25_topk_segments(spark, idx, qdf, k=10))
+    want = _collect_ranked(bm25_topk_segments(spark, fresh, qdf, k=10))
+    assert got == want
+
+
 def test_gen_document_prefix_stability():
     # exceptAll(base) as "new docs" is only valid if generation is
     # row-index-stable: doc i is identical in any corpus size
