@@ -3,7 +3,8 @@
     spark-submit --py-files quickb_spark.zip jobs/run_queries.py \\
       --index-dir <index root> \\
       --queries <parquet/csv with (query_id, query_text)> \\
-      [--k 10] [--output <parquet dir>] [--no-wand]
+      [--k 10] [--output <parquet dir>] [--strategy auto|wand|exact] \\
+      [--ranges auto|<int>]
 """
 
 from __future__ import annotations
@@ -21,7 +22,8 @@ def main() -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--output", default=None)
-    ap.add_argument("--no-wand", action="store_true")
+    ap.add_argument("--strategy", default="auto", choices=["auto", "wand", "exact"])
+    ap.add_argument("--ranges", default="auto", help="docID-range fan-out per query")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,8 +36,10 @@ def main() -> None:
     else:
         queries = spark.read.parquet(args.queries)
 
+    ranges = args.ranges if args.ranges == "auto" else int(args.ranges)
     result = bm25_topk_segments(
-        spark, args.index_dir, queries, k=args.k, use_wand=not args.no_wand
+        spark, args.index_dir, queries, k=args.k,
+        strategy=args.strategy, ranges=ranges,
     )
     if args.output:
         result.write.mode("overwrite").parquet(args.output)

@@ -210,6 +210,19 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_table(spark, n=48), every_ms=1000, max_frames=4)
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 completion: reference-greedy embedding near-dup filter (multi-probe
+    LSH candidates -> exact cosine -> per-component ordered walk). Greedy
+    keep-first is iterative and not SQL-expressible; the python oracle is
+    tests/test_near_dup.py::brute_greedy."""
+    from quickb_spark.ops.dedup import embedding_near_dup_keep
+
+    emb = gate.load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_keep(
+        emb, "vec_id", "embedding", dim=64, threshold=0.95, n_planes=10, n_probes=4
+    )
+
+
 def q_seeded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7: seeded train/test split sizes (engine-side determinism only)."""
     docs = gate.load(spark, sf_dir, "documents")
@@ -344,6 +357,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c13_json_extract": q_json_extract,
     # rows-only:
     "c5_fixed_token_chunks": q_fixed_token_chunks,
+    "t3_embed_near_dup": q_embed_near_dup,
     "t1_wand_segments": q_wand_segments,
     "s10_segments_meta": q_segments_meta,
     "mm_media_features": q_media_features,

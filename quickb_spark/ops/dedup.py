@@ -42,6 +42,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_py",
     "simhash_col",
+    "connected_components",
+    "greedy_keep_first",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_keep",
 ]
 
 
@@ -183,6 +187,180 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, comp) for every id appearing in the undirected edge set
+    (id_a, id_b); comp is the component's minimum id.
+
+    Iterative min-label propagation with driver-side convergence checks and
+    localCheckpoint lineage truncation — the standard Spark shape for small
+    iterative graph algorithms. Near-dup graphs have tiny components, so it
+    converges in a handful of rounds regardless of corpus size (the loop is
+    over component DIAMETER, not data volume).
+    """
+    edges = pairs.select("id_a", "id_b").distinct()
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionByName(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        e2 = (
+            edges.join(
+                labels.select(F.col("id").alias("id_a"), F.col("comp").alias("ca")),
+                "id_a",
+            ).join(
+                labels.select(F.col("id").alias("id_b"), F.col("comp").alias("cb")),
+                "id_b",
+            )
+        )
+        cand = (
+            e2.select(F.col("id_a").alias("id"), F.least("ca", "cb").alias("cand"))
+            .unionByName(
+                e2.select(F.col("id_b").alias("id"), F.least("ca", "cb").alias("cand"))
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new_labels = (
+            labels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("cand", F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("comp") != F.least(F.col("comp"), F.coalesce("cand", F.col("comp"))))
+                .cast("int")
+                .alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def greedy_keep_first(pairs: DataFrame) -> DataFrame:
+    """Reference-exact greedy near-dup filter, distributed.
+
+    The reference walks items in order and drops an item iff it is similar
+    to an already-KEPT earlier item (src/synth_dataset/deduplicator.py:19-36
+    — note: similar to a DROPPED item does not drop you, so this is NOT
+    connected-component dedup). Distributed shape: similarity edges only
+    connect items within a connected component, so the sequential walk is
+    run independently per component in applyInPandas — exact semantics,
+    and component sizes (near-dup clusters) stay tiny at any corpus scale.
+    Order is ascending id, the engine's deterministic analog of
+    first-occurrence (same convention as exact_dup_groups' keep-min-id).
+
+    pairs: (id_a, id_b) similar pairs with id_a < id_b.
+    -> (id, keep boolean) for every id in the pair graph; ids with no
+    similar pair are trivially kept and don't appear (left-join and
+    coalesce(keep, true) on the caller side).
+    """
+    comp = connected_components(pairs)
+    p = pairs.join(
+        comp.select(F.col("id").alias("id_a"), "comp"), "id_a"
+    ).select("comp", "id_a", "id_b")
+
+    def walk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(pdf["id_a"]) | set(pdf["id_b"]))
+        adj = set(zip(pdf["id_a"], pdf["id_b"]))
+        kept: list[int] = []
+        out = []
+        for i in ids:
+            drop = any(
+                ((j, i) if j < i else (i, j)) in adj for j in kept
+            )
+            if drop:
+                out.append((i, False))
+            else:
+                kept.append(i)
+                out.append((i, True))
+        return pd.DataFrame(out, columns=["id", "keep"])
+
+    return p.groupBy("comp").applyInPandas(walk, "id long, keep boolean")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_probes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs WITHOUT the O(n^2)
+    all-pairs matrix the reference builds (deduplicator.py:38-52):
+    random-hyperplane LSH buckets the corpus; multi-probe (each vector also
+    probes the buckets one sign-bit away) recovers pairs that straddle a
+    hyperplane; exact JVM-side cosine then verifies every candidate.
+
+    -> (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
+    """
+    from quickb_spark.functions.rounding import grid4
+    from quickb_spark.ops.similarity import cosine_col, hyperplane_bucket_udf
+
+    bucket = hyperplane_bucket_udf(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_bucket", bucket(F.col("_v")))
+    probes = F.array_distinct(
+        F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(max(0, min(n_probes - 1, n_planes)))
+            ],
+        )
+    )
+    left = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.explode(probes).alias("_bucket"),
+    )
+    right = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+    )
+    return (
+        left.join(right, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            grid4(cosine_col(F.col("_va"), F.col("_vb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
+def embedding_near_dup_keep(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    **lsh_kwargs,
+) -> DataFrame:
+    """(id, keep): reference-greedy embedding dedup over the whole table —
+    ids untouched by any near-dup pair are kept by construction."""
+    pairs = embedding_near_dup_pairs(
+        df, id_col, vec_col, dim=dim, threshold=threshold, **lsh_kwargs
+    )
+    verdicts = greedy_keep_first(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(verdicts, "id", "left")
+        .select("id", F.coalesce("keep", F.lit(True)).alias("keep"))
     )
 
 

@@ -103,16 +103,37 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's
-    hyperplane bucket, then exact cosine + window rank. At scale the corpus
-    is written bucket-partitioned so a query probes one partition."""
+    hyperplane bucket(s), then exact cosine + window rank. At scale the
+    corpus is written bucket-partitioned so a query probes n_probes
+    partitions.
+
+    Multi-probe (n_probes > 1): each query ALSO probes the buckets one
+    sign-bit away — near neighbors that straddle a hyperplane land exactly
+    there, so recall climbs steeply with a few extra probes while scan cost
+    stays n_probes/2^n_planes of the corpus (the classic multi-probe LSH
+    trade; single-probe recall falls off a cliff for vectors near any
+    plane)."""
     bucket = hyperplane_bucket_udf(dim, n_planes)
     c = corpus.withColumn("_bucket", bucket(F.col(vec_col)))
-    q = queries.select(
-        "query_id",
-        F.col(vec_col).alias("_qvec"),
-        bucket(F.col(vec_col)).alias("_bucket"),
+    probes = F.array_distinct(
+        F.array(
+            F.col("_qbucket"),
+            *[
+                F.col("_qbucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(max(0, min(n_probes - 1, n_planes)))
+            ],
+        )
+    )
+    q = (
+        queries.select(
+            "query_id",
+            F.col(vec_col).alias("_qvec"),
+            bucket(F.col(vec_col)).alias("_qbucket"),
+        )
+        .select("query_id", "_qvec", F.explode(probes).alias("_bucket"))
     )
     pairs = c.join(F.broadcast(q), "_bucket").select(
         "query_id",
