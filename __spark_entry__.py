@@ -3,8 +3,10 @@
 `entry(spark)` runs the flagship end-to-end path (chunk → inverted index →
 BM25 top-k) on sf0.001. `queries()` exposes one entry per implemented
 operator from SURVEY.md §2; `oracle_sql()` gives each a DuckDB-equivalent
-ANSI-SQL string (rows-only entries — chunking, simhash, LSH-ANN — are
-non-SQL-expressible and covered by the Python oracles in tests/).
+ANSI-SQL string. Rows-only entries (no SQL oracle by nature — recursive /
+fixed-token chunking, simhash, LSH-ANN, compressed-segment WAND serving,
+resumability lineage, multimodal kernels, greedy near-dup, seeded split)
+are covered by the Python/reference-execution oracles in tests/.
 """
 
 from __future__ import annotations

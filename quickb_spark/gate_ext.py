@@ -108,9 +108,13 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fixed_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: fixed token-window chunking via the registry (rows-only; the
     byte-identity oracle vs the reference algorithm is tests/test_fixed_token.py)."""
-    from quickb_spark.chunking.registry import chunk_documents_with
+    from quickb_spark.chunking.fixed_token import fixed_token_chunk_documents
 
-    return chunk_documents_with("FixedTokenChunker", gate._as_corpus(spark, sf_dir))
+    # 64-token windows with 16 overlap so gate docs actually split into
+    # several overlapping chunks (registry dispatch covered in tests)
+    return fixed_token_chunk_documents(
+        gate._as_corpus(spark, sf_dir), chunk_size=64, chunk_overlap=16
+    )
 
 
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

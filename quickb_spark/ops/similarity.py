@@ -27,7 +27,13 @@ from pyspark.sql.window import Window
 
 from quickb_spark.functions.rounding import grid
 
-__all__ = ["cosine_col", "cosine_topk", "hyperplane_bucket_udf", "lsh_bucketed_topk"]
+__all__ = [
+    "cosine_col",
+    "cosine_topk",
+    "hyperplane_bucket_udf",
+    "bucketize_corpus",
+    "lsh_bucketed_topk",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -95,6 +101,20 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
     return _bucket
 
 
+def bucketize_corpus(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the hyperplane-LSH `_bucket` column. Persist the result
+    `df.write.partitionBy("_bucket")` so every later query batch gets
+    bucket-partition pruning instead of a full-corpus hash recompute."""
+    bucket = hyperplane_bucket_udf(dim, n_planes, seed)
+    return corpus.withColumn("_bucket", bucket(F.col(vec_col)))
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -115,9 +135,18 @@ def lsh_bucketed_topk(
     there, so recall climbs steeply with a few extra probes while scan cost
     stays n_probes/2^n_planes of the corpus (the classic multi-probe LSH
     trade; single-probe recall falls off a cliff for vectors near any
-    plane)."""
+    plane).
+
+    At scale, pre-bucket ONCE with `bucketize_corpus` and persist
+    `partitionBy("_bucket")`; a corpus that already carries `_bucket` is
+    used as-is here (bucket partition pruning at the scan), instead of
+    recomputing the hash per query batch."""
     bucket = hyperplane_bucket_udf(dim, n_planes)
-    c = corpus.withColumn("_bucket", bucket(F.col(vec_col)))
+    c = (
+        corpus
+        if "_bucket" in corpus.columns
+        else corpus.withColumn("_bucket", bucket(F.col(vec_col)))
+    )
     probes = F.array_distinct(
         F.array(
             F.col("_qbucket"),
