@@ -77,12 +77,15 @@ def main() -> None:
         gen_corpus(corpus, args.docs)
 
     results = {}
+    all_trials: dict[int, list] = {}
     for cpus in (args.n, args.n * 4):
         best = None
+        all_trials[cpus] = []
         for trial in range(args.trials):
             print(f"running level local[{cpus}] trial {trial + 1}/{args.trials} ...", flush=True)
             r = run_level(cpus, corpus, work)
             print("  ", r, flush=True)
+            all_trials[cpus].append(r["build_sec"])
             if best is None or r["build_sec"] < best["build_sec"]:
                 best = r
         results[cpus] = best
@@ -104,10 +107,10 @@ driver's round instructions. Best of {args.trials} trials per level
 (single-machine Spark wall times vary +-30% run to run; the best trial is
 the least-contended measurement of the same deterministic job).
 
-| level | files | build sec | files/sec | 50-query batch sec | query p50 sec |
+| level | all trials (build sec) | best build sec | best files/sec | 50-query batch sec | query p50 sec |
 |---|---|---|---|---|---|
-| local[{args.n}] (N) | {lo['n_files']} | {lo['build_sec']} | {lo['files_per_sec']} | {lo['query_batch_sec']} | {lo['query_p50_sec']} |
-| local[{args.n * 4}] (4N) | {hi['n_files']} | {hi['build_sec']} | {hi['files_per_sec']} | {hi['query_batch_sec']} | {hi['query_p50_sec']} |
+| local[{args.n}] (N) | {', '.join(f"{t:.1f}" for t in sorted(all_trials[args.n]))} | {lo['build_sec']} | {lo['files_per_sec']} | {lo['query_batch_sec']} | {lo['query_p50_sec']} |
+| local[{args.n * 4}] (4N) | {', '.join(f"{t:.1f}" for t in sorted(all_trials[args.n * 4]))} | {hi['build_sec']} | {hi['files_per_sec']} | {hi['query_batch_sec']} | {hi['query_p50_sec']} |
 
 **Indexing-throughput scaling efficiency (N -> 4N): {eff:.3f}**
 (north rule target: >= 0.8). Query-batch scaling efficiency: {q_eff:.3f}.
