@@ -153,11 +153,27 @@ def ngram_jaccard_pairs(
     Skew guard: shingles occurring in more than max_shingle_df docs are
     excluded from the pair join (they would create quadratic blowup while
     carrying no discriminative signal); sizes still count all shingles.
+
+    Scale shape: shingle strings are hashed to int64 (xxhash64) BEFORE any
+    shuffle — set sizes, intersections, and the self-join only need
+    equality, so every exchange carries 8 bytes instead of a ~25-char
+    string (collision odds over a 10^9-shingle vocabulary are ~1e-2 per
+    CORPUS under the birthday bound, and a single collision perturbs one
+    intersection count by 1 — immaterial for dedup). The distinct
+    (id, shingle) set feeds three aggregations; it is persisted
+    (memory-and-disk) so the explode+distinct shuffle runs once, not 3x.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(text_col, shingle_n)).alias("shingle"),
-    ).distinct()
+    from pyspark import StorageLevel
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_col(text_col, shingle_n)).alias("_s"),
+        )
+        .select("id", F.xxhash64("_s").alias("shingle"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     joinable = sh
     if max_shingle_df is not None:
