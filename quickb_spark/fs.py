@@ -62,6 +62,18 @@ class IndexFS:
         it = self._fs.listStatus(self._path(path))
         return sorted(s.getPath().getName() for s in it)
 
+    def max_file_size(self, path: str) -> int:
+        """Largest data-file size (bytes) under `path`, recursive. Used by
+        the phase-2 no-shuffle encode to size the scan's maxPartitionBytes
+        so checkpoint files are never byte-range split."""
+        it = self._fs.listFiles(self._path(path), True)
+        biggest = 0
+        while it.hasNext():
+            s = it.next()
+            if s.isFile():
+                biggest = max(biggest, int(s.getLen()))
+        return biggest
+
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._path(path))
         try:

@@ -1,29 +1,39 @@
 """Compressed, salted, bucketed index segments — the real index layout.
 
-Build pipeline (SURVEY.md §7 step 3, north-star core):
+Build pipeline (SURVEY.md §7 step 3, north-star core) — format v3, exactly
+ONE postings-wide shuffle end to end:
 
-  documents ──► fused chunk+tokenize kernel → flat postings with positions
-             pre-varbyte'd map-side (index/flatten.py)      [no shuffle]
-          ──► phase 1: shuffle once on (bucket, file-salt) and persist as
-             the CHECKPOINT: parquet partitioned by `bucket` [1 shuffle]
-          ──► phase 2: per bucket-wave, ONE shuffle keyed by
-             (bucket, subgroup(term, salt)) + partition-local sort, then a
-             mapInPandas encoder (delta-gap + varbyte + block-max). Because
-             the partition key is a function of (term, salt) alone, every
-             partition holds complete posting lists of ~one bucket slice,
-             so the writer task emits ~one file into ~one bucket dir —
-             NO second shuffle, and write parallelism scales with cores
-             instead of being pinned to the bucket count (the round-1
-             scaling-efficiency killer).
+  documents ──► phase 0: hot-term detection on a ~2% input sample, BEFORE
+             phase 1 (so the salt is known up front), persisted to
+             meta/hot_terms.json                       [sample-sized job]
+          ──► phase 1: fused chunk+tokenize kernel → flat postings with
+             positions pre-varbyte'd map-side (index/flatten.py), salt
+             baked in, then ONE shuffle keyed by
+             (bucket, subgroup(term, salt)) + partition-local sort on
+             (bucket, term, salt, doc_id), persisted as the CHECKPOINT:
+             parquet partitioned by `bucket`. The partition key is a pure
+             function of (term, salt), so every checkpoint FILE holds only
+             complete, sorted posting-list groups.        [THE shuffle]
+          ──► phase 2: per bucket-wave, scan → mapInPandas encoder
+             (delta-gap + varbyte + block-max) → write. NO shuffle: scan
+             partitions are whole checkpoint files (maxPartitionBytes is
+             raised above the largest file so byte-range splits can't
+             occur; a split would merely yield an extra partial segment
+             row — the query path merges partials exactly like salted
+             sub-lists — but whole files keep segments canonical). Write
+             parallelism scales with cores, not bucket count (the round-1
+             killer). QKB_P2_SHUFFLE=1 forces the explicit
+             repartition+sort path (A/B control).
+          ──► phase 3: term → global-df lexicon parquet (tiny), the
+             serve-time fixed-cost killer used by query.searcher.Searcher.
 
 Skew (the Zipfian `def`/`import` problem): hot terms get
 `salt = pmod(xxhash64(doc_id), S)` so no single encode group exceeds
-df_hot/S postings. Hot-term detection runs on a bounded SAMPLE of the
-checkpoint (a full term-df pass costs a second postings-wide shuffle);
-the threshold keeps a 2x safety margin — salting a borderline-cold term is
-harmless (query-side re-merge is unconditional), missing a hot one is not.
-Salted sub-lists are re-merged at query time (quickb_spark.query.wand).
-AQE cannot fix groupBy skew — this is deliberate app-level salting.
+df_hot/S postings. The sampled threshold keeps a 2x safety margin —
+salting a borderline-cold term is harmless (query-side re-merge is
+unconditional), missing a hot one is not. Salted sub-lists are re-merged
+at query time (quickb_spark.query.wand). AQE cannot fix groupBy skew —
+this is deliberate app-level salting.
 
 Corpus scalars (n_docs, avgdl, posting count) ride on the phase-1 write via
 `DataFrame.observe` — zero extra jobs. Per-bucket lineage metrics are
@@ -40,10 +50,12 @@ committed meta are skipped and their data is untouched (lineage preserved).
 Layout on disk (Iceberg-ready: swap parquet dirs for an Iceberg table with
 identity partitioning on `bucket` without touching the logic):
 
-  <index_dir>/flat/bucket=<b>/...          phase-1 checkpoint
+  <index_dir>/flat/bucket=<b>/...          phase-1 checkpoint (sorted, salted)
   <index_dir>/segments/bucket=<b>/...      encoded posting lists
+  <index_dir>/lexicon/bucket=<b>/...       (term, df) global-df lexicon
+  <index_dir>/meta/hot_terms.json          pre-sampled hot-term set
   <index_dir>/meta/bucket_<b>.json         per-partition lineage + metrics
-  <index_dir>/meta/stats.json              corpus scalars (N, avgdl), config
+  <index_dir>/meta/stats.json              corpus scalars, config, format_version
   <index_dir>/doc_stats/...                (doc_id, doc_len) parquet
 """
 
@@ -112,8 +124,18 @@ def _bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
-#: Sampled-df budget for hot-term detection (rows aggregated, not scanned).
-_HOT_SAMPLE_ROWS = 5_000_000
+#: On-disk layout + stats.json contract version. v3: the flat checkpoint
+#: carries a baked-in `salt` column and is written pre-grouped/sorted on
+#: (bucket, term, salt, doc_id); segments carry per-block byte offsets with
+#: absolute delta resets at block starts. Readers/resumers fail fast on a
+#: mismatch instead of silently mis-decoding (an index built by an older
+#: format must be rebuilt).
+FORMAT_VERSION = 3
+
+#: Input-sample fraction for PRE-phase-1 hot-term detection (tokenizes ~2%
+#: of the raw input once; detecting hot terms before phase 1 lets the salt
+#: be baked into the checkpoint so phase 2 needs no shuffle at all).
+_HOT_PRESAMPLE_FRACTION = 0.02
 #: Safety margin on the sampled threshold: include anything whose estimated
 #: df exceeds half the hot threshold (over-salting is benign).
 _HOT_SAMPLE_MARGIN = 0.5
@@ -121,26 +143,36 @@ _HOT_SAMPLE_MARGIN = 0.5
 _HOT_MAX_TERMS = 2000
 
 
-def _detect_hot_terms(
-    flat_r: DataFrame, n_docs: int, total_postings: int, cfg: EngineConfig
-) -> list[str]:
-    thresh = max(
-        cfg.index.hot_term_min_df, int(n_docs * cfg.index.hot_term_doc_fraction)
-    )
-    frac = min(1.0, _HOT_SAMPLE_ROWS / max(total_postings, 1))
-    src = flat_r.select("term")
-    if frac < 1.0:
-        src = src.sample(False, frac, seed=42)
-    cut = thresh * frac * (_HOT_SAMPLE_MARGIN if frac < 1.0 else 1.0)
+def _presample_hot_terms(flat_sample: DataFrame, frac: float, cfg: EngineConfig) -> list[str]:
+    """Estimate hot terms from the flat postings of an input SAMPLE.
+
+    One job: per-term sampled df + total sampled chunk count (via observe on
+    the same action). The final threshold needs the chunk count, so the scan
+    pre-filters with the min_df-only bound and the doc-fraction bound is
+    applied driver-side on the (bounded) survivor list.
+    """
+    obs = Observation("qkb_hot_sample")
+    cut0 = cfg.index.hot_term_min_df * frac * _HOT_SAMPLE_MARGIN
     rows = (
-        src.groupBy("term")
+        flat_sample.select("term", "first")
+        .observe(obs, F.sum("first").alias("n_chunks"))
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_s"))
-        .filter(F.col("df_s") > cut)
+        .filter(F.col("df_s") > cut0)
         .orderBy(F.desc("df_s"))
-        .limit(_HOT_MAX_TERMS)
+        .limit(_HOT_MAX_TERMS * 4)
         .collect()
     )
-    return sorted(r["term"] for r in rows)
+    n_chunks_s = int(obs.get["n_chunks"] or 0)
+    thresh_s = (
+        max(
+            cfg.index.hot_term_min_df * frac,
+            n_chunks_s * cfg.index.hot_term_doc_fraction,
+        )
+        * _HOT_SAMPLE_MARGIN
+    )
+    hot = [r["term"] for r in rows if r["df_s"] > thresh_s][:_HOT_MAX_TERMS]
+    return sorted(hot)
 
 
 def _partition_encoder(cfg: EngineConfig):
@@ -227,6 +259,18 @@ def _meta_path(index_dir: str, bucket: int) -> str:
     return join_path(index_dir, "meta", f"bucket_{bucket:05d}.json")
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '128m', '16MB')."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s)) * mult
+
+
 def build_index(
     spark: SparkSession,
     chunks: DataFrame | None = None,
@@ -263,18 +307,62 @@ def build_index(
     fs.mkdirs(join_path(index_dir, "meta"))
     flat_dir = join_path(index_dir, "flat")
     stats_path = join_path(index_dir, "meta", "stats.json")
+    hot_path = join_path(index_dir, "meta", "hot_terms.json")
+    # encode/write sub-partitions per bucket: scales parallelism with cores
+    # and bounds each phase-1 sort buffer / phase-2 encode partition
+    g = max(1, math.ceil(cores * 8 / nb))
 
-    # ---- phase 1: one tokenize pass straight into the bucketed checkpoint
-    # (bucket = f(term) only, so salting can be applied lazily in phase 2;
-    # no .persist() — the checkpoint parquet IS the reuse point, which also
-    # holds at 100 TB where executor memory could never cache the postings)
-    p1_metrics: dict | None = None
-    if not fs.exists(join_path(flat_dir, "_SUCCESS")):
-        if chunks is None and documents is None:
-            raise ValueError(
-                "no input DataFrame and no existing flat checkpoint at "
-                f"{flat_dir} — pass chunks= or documents="
+    # ---- phase 0: hot-term detection on a ~2% input sample, BEFORE phase 1.
+    # Salt is a pure function of (term in hot set, doc_id), so knowing the
+    # hot set up front lets phase 1 write the checkpoint already salted,
+    # keyed and sorted — phase 2 then encodes straight off the scan with no
+    # postings-wide shuffle. Persisted before phase 1 so a crashed build
+    # resumes with the same salt assignment it started with.
+    p1_needed = not fs.exists(join_path(flat_dir, "_SUCCESS"))
+    if p1_needed and chunks is None and documents is None:
+        raise ValueError(
+            "no input DataFrame and no existing flat checkpoint at "
+            f"{flat_dir} — pass chunks= or documents="
+        )
+    if p1_needed and not fs.exists(hot_path):
+        frac = _HOT_PRESAMPLE_FRACTION
+        sample_flat = (
+            flat_postings_from_documents(
+                documents.sample(False, frac, seed=42), cfg
             )
+            if documents is not None
+            else flat_postings_from_chunks(chunks.sample(False, frac, seed=42))
+        )
+        hot = _presample_hot_terms(sample_flat, frac, cfg)
+        fs.write_text_atomic(
+            hot_path,
+            json.dumps({"hot_terms": hot, "sample_fraction": frac}),
+        )
+        _mark("phase0 hot-term presample")
+    hot_terms: list[str] = (
+        json.loads(fs.read_text(hot_path))["hot_terms"]
+        if fs.exists(hot_path)
+        else []
+    )
+    salt_col = (
+        F.when(
+            F.col("term").isin(hot_terms),
+            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.index.salt_buckets)).cast("int"),
+        ).otherwise(F.lit(0))
+        if hot_terms
+        else F.lit(0).cast("int")
+    )
+
+    # ---- phase 1: one tokenize pass straight into the bucketed checkpoint,
+    # written pre-salted, pre-grouped and pre-sorted: the repartition key is
+    # a pure function of (bucket, term, salt) — every partition holds only
+    # COMPLETE posting-list groups — and the partition-local sort means the
+    # phase-2 encoder can walk the scan directly. This is the only shuffle
+    # of the whole build. (No .persist() — the checkpoint parquet IS the
+    # reuse point, which also holds at 100 TB where executor memory could
+    # never cache the postings.)
+    p1_metrics: dict | None = None
+    if p1_needed:
         flat = (
             flat_postings_from_documents(documents, cfg)
             if documents is not None
@@ -288,15 +376,13 @@ def build_index(
             F.sum(F.col("first") * F.col("doc_len")).alias("sum_dl"),
             F.count(F.lit(1)).alias("n_postings"),
         )
-        # file-salt: write tasks scale with cores instead of bucket count
-        # (64 fixed tasks was a round-1 scaling bottleneck); each task still
-        # writes into ~1 bucket dir, so files per bucket stay bounded at s1
-        s1 = max(1, math.ceil(cores * 8 / nb))
         (
-            flat.withColumn("bucket", _bucket_col(F.col("term"), nb))
+            flat.withColumn("salt", salt_col)
+            .withColumn("bucket", _bucket_col(F.col("term"), nb))
             .repartition(
-                nb * s1, F.col("bucket"), F.pmod(F.xxhash64("doc_id"), F.lit(s1))
+                nb * g, F.col("bucket"), F.pmod(F.xxhash64("term", "salt"), F.lit(g))
             )
+            .sortWithinPartitions("bucket", "term", "salt", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(flat_dir)
@@ -305,12 +391,19 @@ def build_index(
 
     _mark("phase1 flat checkpoint")
 
-    # ---- phase 1b: doc stats + hot-term detection ------------------------
+    # ---- phase 1b: doc stats + corpus scalars ----------------------------
+    flat_all = spark.read.parquet(flat_dir)
+    if "salt" not in flat_all.columns:
+        raise RuntimeError(
+            f"flat checkpoint at {flat_dir} predates index format "
+            f"v{FORMAT_VERSION} (no baked-in salt column) — delete the index "
+            "dir and rebuild; resuming across format versions would silently "
+            "mis-encode"
+        )
     if not fs.exists(stats_path):
-        flat_r = spark.read.parquet(flat_dir)
         # doc-level stats via the `first` marker: a narrow filtered scan of
         # the checkpoint — no distinct-shuffle over all postings
-        flat_r.filter(F.col("first") == 1).select("doc_id", "doc_len").write.mode(
+        flat_all.filter(F.col("first") == 1).select("doc_id", "doc_len").write.mode(
             "overwrite"
         ).parquet(join_path(index_dir, "doc_stats"))
         if p1_metrics is not None:
@@ -324,57 +417,89 @@ def build_index(
                 .collect()[0]
             )
             n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-            total_postings = flat_r.count()  # parquet metadata-only count
-        hot = _detect_hot_terms(flat_r, n_docs, total_postings, cfg)
+            total_postings = flat_all.count()  # parquet metadata-only count
         fs.write_text_atomic(
             stats_path,
             json.dumps(
                 {
+                    "format_version": FORMAT_VERSION,
                     "n_docs": n_docs,
                     "avgdl": avgdl,
                     "n_postings": total_postings,
                     "term_buckets": nb,
                     "salt_buckets": cfg.index.salt_buckets,
                     "block_size": cfg.index.block_size,
-                    "hot_terms": hot,
+                    "hot_terms": hot_terms,
                 }
             ),
         )
 
     _mark("phase1b stats")
 
-    _stats = json.loads(fs.read_text(stats_path))
-    hot_terms = set(_stats["hot_terms"])
-
     # ---- phase 2: per-bucket-wave encode, idempotent, resumable ----------
+    # The checkpoint is already salted, grouped and sorted, so the default
+    # path is scan -> encode -> write: ZERO shuffles. Safety: a parquet file
+    # larger than the scan's maxPartitionBytes would be byte-range split
+    # (degrading to extra partial segment rows — the query path merges
+    # partials exactly like salted sub-lists, so it stays correct but
+    # non-canonical); raise the limit for this session so every checkpoint
+    # file maps to whole scan partitions. QKB_P2_SHUFFLE=1 forces the
+    # explicit repartition+sort path (A/B and belt-and-suspenders).
     pending = [b for b in range(nb) if not fs.exists(_meta_path(index_dir, b))]
-    flat_all = spark.read.parquet(flat_dir)
     encoder = _partition_encoder(cfg)
     segments_dir = join_path(index_dir, "segments")
-    # sub-partitions per bucket: scales encode AND write parallelism with
-    # cores, and bounds each partition's sort buffer
-    g = max(1, math.ceil(cores * 8 / nb))
+    force_shuffle = os.environ.get("QKB_P2_SHUFFLE") == "1"
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    if pending and not force_shuffle:
+        biggest = fs.max_file_size(flat_dir)
+        if biggest + (1 << 20) > _parse_bytes_conf(prev_mpb):
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(biggest + (1 << 20))
+            )
+    try:
+        _run_waves(
+            spark, fs, index_dir, flat_all, encoder, segments_dir, pending,
+            wave_size, g, nb, force_shuffle, _mark,
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+    # ---- phase 3: term -> global df lexicon (tiny; serve-time fixed-cost
+    # killer). One row per distinct term, partitioned by bucket so a query
+    # batch reads only its buckets' slivers; the Searcher caches lookups so
+    # repeated terms never touch storage again. Rewritten whenever any
+    # bucket was (re-)encoded — cost is one scan of the SEGMENT rows
+    # (compressed metadata, not postings).
+    lex_dir = join_path(index_dir, "lexicon")
+    if pending or not fs.exists(join_path(lex_dir, "_SUCCESS")):
+        (
+            spark.read.parquet(segments_dir)
+            .groupBy("bucket", "term")
+            .agg(F.sum("df_part").alias("df"))
+            .repartition(max(1, min(nb, cores)), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(lex_dir)
+        )
+        _mark("phase3 lexicon")
+
+
+def _run_waves(
+    spark, fs, index_dir, flat_all, encoder, segments_dir, pending,
+    wave_size, g, nb, force_shuffle, _mark,
+):
     for wave_start in range(0, len(pending), wave_size):
         wave = pending[wave_start : wave_start + wave_size]
         t0 = time.perf_counter()
-        wave_flat = flat_all.filter(F.col("bucket").isin(wave)).withColumn(
-            "salt",
-            F.when(
-                F.col("term").isin(list(hot_terms)) if hot_terms else F.lit(False),
-                F.pmod(F.xxhash64("doc_id"), F.lit(cfg.index.salt_buckets)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        # ONE shuffle: the partition key is a pure function of (term, salt)
-        # — complete posting lists per partition (required by the encoder's
-        # sorted-walk) — and includes bucket, so each encoded partition maps
-        # to ~one bucket dir and the write needs no second shuffle
-        seg = (
-            wave_flat.repartition(
+        wave_flat = flat_all.filter(F.col("bucket").isin(wave))
+        if force_shuffle:
+            wave_flat = wave_flat.repartition(
                 len(wave) * g,
                 F.col("bucket"),
                 F.pmod(F.xxhash64("term", "salt"), F.lit(g)),
-            )
-            .sortWithinPartitions("term", "salt", "doc_id")
+            ).sortWithinPartitions("term", "salt", "doc_id")
+        seg = (
+            wave_flat.select("term", "salt", "doc_id", "tf", "doc_len", "pos_vb")
             .mapInPandas(encoder, SEGMENT_SCHEMA)
             .withColumn("bucket", _bucket_col(F.col("term"), nb))
         )
@@ -441,6 +566,18 @@ def load_stats(index_dir: str) -> dict:
 
     stats_path = join_path(index_dir, "meta", "stats.json")
     if SparkSession.getActiveSession() is not None:
-        return json.loads(IndexFS(index_dir).read_text(stats_path))
-    with open(stats_path) as f:  # no session: plain local fallback
-        return json.load(f)
+        stats = json.loads(IndexFS(index_dir).read_text(stats_path))
+    else:
+        with open(stats_path) as f:  # no session: plain local fallback
+            stats = json.load(f)
+    # fail fast on format drift: v3 changed stream layout (per-block absolute
+    # delta resets + byte offsets) and the checkpoint schema — decoding an
+    # older index with this code would silently produce wrong doc_ids for
+    # any posting list longer than one block
+    got = int(stats.get("format_version", 0))
+    if got != FORMAT_VERSION:
+        raise RuntimeError(
+            f"index at {index_dir} has format_version={got}, this engine "
+            f"requires {FORMAT_VERSION} — rebuild the index"
+        )
+    return stats

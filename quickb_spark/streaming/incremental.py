@@ -172,7 +172,13 @@ def _fold_marker(index_dir: str) -> str:
 def _finish_fold(fs: IndexFS, index_dir: str, touched: list[int]) -> None:
     """Commit point passed: swap staged bucket dirs into the flat checkpoint
     and clear deltas/stale metadata. Every step is idempotent, so a crashed
-    fold resumes here from the marker and converges to exactly-once."""
+    fold resumes here from the marker and converges to exactly-once.
+
+    The fold marker itself is NOT deleted here: it must outlive the
+    build_index re-encode that follows, so a crash anywhere between the
+    swap and the finished re-encode is repaired by the next fold call
+    (marker present -> re-run this idempotent cleanup + build_index). The
+    caller deletes the marker only after build_index returns."""
     flat_dir = join_path(index_dir, "flat")
     stage_dir = join_path(index_dir, "flat_stage")
     # delta dirs first: once the marker exists, the staged merge is the
@@ -191,7 +197,6 @@ def _finish_fold(fs: IndexFS, index_dir: str, touched: list[int]) -> None:
         if fs.exists(_meta_path(index_dir, b)):
             fs.delete(_meta_path(index_dir, b), recursive=False)
     fs.delete(stage_dir)
-    fs.delete(_fold_marker(index_dir), recursive=False)
 
 
 def fold_deltas_into_index(
@@ -212,11 +217,16 @@ def fold_deltas_into_index(
     from quickb_spark.index.segments import build_index
 
     fs = IndexFS(index_dir, spark)
-    # finish a previously crashed fold before looking at new deltas
+    # finish a previously crashed fold before looking at new deltas: the
+    # marker survives until build_index completes, so a crash anywhere
+    # after the commit point (including between cleanup and re-encode —
+    # the window that used to orphan the index with no stats.json) is
+    # repaired here idempotently
     if fs.exists(_fold_marker(index_dir)):
         prev = json.loads(fs.read_text(_fold_marker(index_dir)))["touched"]
         _finish_fold(fs, index_dir, prev)
         build_index(spark, index_dir=index_dir, cfg=cfg)
+        fs.delete(_fold_marker(index_dir), recursive=False)
 
     delta = _delta_flat(spark, index_dir)
     if delta is None:
@@ -226,11 +236,41 @@ def fold_deltas_into_index(
     touched = [
         int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
     ]
+    # salt delta rows with the SAME persisted hot set the base build used
+    # (salt assignment must stay a pure function of (term, doc_id) across
+    # folds; correctness is salt-invariant — queries re-merge sub-lists —
+    # but a stable assignment keeps segments canonical), then restore the
+    # v3 checkpoint invariant: partitions keyed by (bucket, subgroup(term,
+    # salt)) and sorted, so the no-shuffle phase-2 encode applies to folded
+    # buckets too.
+    hot_path = join_path(index_dir, "meta", "hot_terms.json")
+    hot = (
+        json.loads(fs.read_text(hot_path))["hot_terms"]
+        if fs.exists(hot_path)
+        else []
+    )
+    salt_col = (
+        F.when(
+            F.col("term").isin(hot),
+            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.index.salt_buckets)).cast("int"),
+        ).otherwise(F.lit(0))
+        if hot
+        else F.lit(0).cast("int")
+    )
+    g = max(
+        1,
+        -(-spark.sparkContext.defaultParallelism * 8 // cfg.index.term_buckets),
+    )
     merged = (
         spark.read.parquet(flat_dir)
         .filter(F.col("bucket").isin(touched))
-        .unionByName(delta.drop("ingest_batch"))
-        .repartition(max(len(touched), 1), "bucket")
+        .unionByName(delta.drop("ingest_batch").withColumn("salt", salt_col))
+        .repartition(
+            max(len(touched), 1) * g,
+            F.col("bucket"),
+            F.pmod(F.xxhash64("term", "salt"), F.lit(g)),
+        )
+        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
     fs.write_text_atomic(
@@ -241,4 +281,5 @@ def fold_deltas_into_index(
     # no input DataFrame: the merged phase-1 checkpoint already exists, so
     # build_index only recomputes stats and re-encodes the meta-less buckets
     build_index(spark, index_dir=index_dir, cfg=cfg)
+    fs.delete(_fold_marker(index_dir), recursive=False)
     return len(touched)

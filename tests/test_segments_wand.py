@@ -243,3 +243,34 @@ def test_segments_meta_table(spark, built):
     total = meta.agg(F.sum("posting_count")).collect()[0][0]
     flat_rows = spark.read.parquet(f"{built}/flat").count()
     assert total == flat_rows
+
+
+def test_format_version_fail_fast(spark, built, tmp_path):
+    """v3 format discipline: a stats.json without the current
+    format_version must be rejected by every reader (silently decoding an
+    old layout would produce wrong doc_ids past the first block), and a
+    pre-v3 flat checkpoint (no baked-in salt column) must refuse to
+    resume."""
+    import re
+
+    from quickb_spark.index.segments import FORMAT_VERSION
+
+    # current index round-trips with its version stamp
+    assert load_stats(built)["format_version"] == FORMAT_VERSION
+
+    # clone meta with the stamp stripped -> load_stats raises
+    old = str(tmp_path / "old_idx")
+    os.makedirs(f"{old}/meta")
+    st = json.load(open(f"{built}/meta/stats.json"))
+    del st["format_version"]
+    json.dump(st, open(f"{old}/meta/stats.json", "w"))
+    with pytest.raises(RuntimeError, match="format_version"):
+        load_stats(old)
+
+    # pre-v3 checkpoint (salt column missing) -> build_index refuses resume
+    legacy = str(tmp_path / "legacy_idx")
+    spark.read.parquet(f"{built}/flat").drop("salt").write.partitionBy(
+        "bucket"
+    ).parquet(f"{legacy}/flat")
+    with pytest.raises(RuntimeError, match=re.escape("salt")):
+        build_index(spark, index_dir=legacy, cfg=CFG)

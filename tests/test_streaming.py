@@ -105,10 +105,27 @@ def test_fold_crash_recovery_exactly_once(spark, tmp_path):
     fs = IndexFS(idx, spark)
     delta = spark.read.parquet(join_path(idx, "flat_delta"))
     touched = [int(r["bucket"]) for r in delta.select("bucket").distinct().collect()]
+    # mirror the product fold's pre-commit staging exactly: delta rows get
+    # the persisted hot-set salt, and the staged buckets are re-keyed and
+    # sorted to the v3 checkpoint invariant (the no-shuffle phase-2 encode
+    # depends on group-aligned, doc_id-sorted files)
+    hot = _json.loads(fs.read_text(join_path(idx, "meta", "hot_terms.json")))[
+        "hot_terms"
+    ]
+    salt_col = (
+        F.when(
+            F.col("term").isin(hot),
+            F.pmod(F.xxhash64("doc_id"), F.lit(CFG.index.salt_buckets)).cast("int"),
+        ).otherwise(F.lit(0))
+        if hot
+        else F.lit(0).cast("int")
+    )
     merged = (
         spark.read.parquet(join_path(idx, "flat"))
         .filter(F.col("bucket").isin(touched))
-        .unionByName(delta.drop("ingest_batch"))
+        .unionByName(delta.drop("ingest_batch").withColumn("salt", salt_col))
+        .repartition(max(len(touched), 1), F.col("bucket"), F.xxhash64("term", "salt"))
+        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         join_path(idx, "flat_stage")
