@@ -9,7 +9,11 @@ Headline queries:
                   chunk+tokenize, salted bucketed checkpoint, delta+varbyte
                   block-max segments (files/sec derived from it)
   q_wand_batch    50-query BM25 top-k batch over the compressed segment
-                  index (docID-range-parallel WAND serving)
+                  index (docID-range-parallel WAND serving, one-shot API)
+  q_searcher_batch  the same batch through the Searcher serving path
+                  (cached listings/stats, driver-side tokenize+hash,
+                  lexicon df) — per-batch fixed Spark jobs drop to one
+  q_searcher_p50  single-query p50 latency on the warm Searcher
   q_bm25_batch    same batch through the declarative flat-postings plan
   q_bm25_chunked  full path incl. chunking at gate scale
   q_dedup_lsh     minhash signatures + banded LSH candidate pairs
@@ -110,6 +114,21 @@ def main() -> None:
 
     with timed("q_wand_batch"):
         bm25_topk_segments(spark, idx, qdf, k=10).count()
+
+    # serving path: Searcher bound to the index — cached stats/listings,
+    # driver-side tokenize + hashing, lexicon-backed df. The timed batch is
+    # cold-df-cache (first batch a fresh server process would run).
+    from quickb_spark.query.searcher import Searcher
+
+    searcher = Searcher(spark, idx)
+    with timed("q_searcher_batch"):
+        searcher.topk(fixture_queries(), k=10).count()
+    lat = []
+    for qid, qtext in fixture_queries()[:12]:
+        t0 = time.perf_counter()
+        searcher.topk([(qid, qtext)], k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    timings["q_searcher_p50"] = round(sorted(lat)[len(lat) // 2], 3)
 
     # declarative flat plan over the build's own checkpoint (no re-tokenize)
     flat_r = spark.read.parquet(f"{idx}/flat").select("term", "doc_id", "tf")

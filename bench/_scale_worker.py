@@ -58,6 +58,7 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     from quickb_spark.config import EngineConfig, IndexConfig
     from quickb_spark.corpus import fixture_queries
     from quickb_spark.index.segments import build_index
+    from quickb_spark.query.searcher import Searcher
     from quickb_spark.query.wand import bm25_topk_segments
 
     cfg = EngineConfig(
@@ -97,6 +98,7 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     )
     qwarm = spark.createDataFrame(fixture_queries()[:4], ["query_id", "query_text"])
     bm25_topk_segments(spark, warm_idx, qwarm, k=10).count()
+    Searcher(spark, warm_idx).topk(fixture_queries()[:4], k=10).count()
     shutil.rmtree(warm_idx, ignore_errors=True)
 
     idx = os.path.join(work_dir, f"index_{cpus}")
@@ -106,17 +108,19 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     build_index(spark, index_dir=idx, cfg=cfg, wave_size=64, documents=docs)
     build_sec = time.perf_counter() - t0
 
-    qdf = spark.createDataFrame(fixture_queries(), ["query_id", "query_text"])
+    # Serving: a Searcher bound to the index, as a server process would run
+    # it. The timed 50-query batch starts with a COLD df cache (it includes
+    # the one bucket-pruned lexicon lookup); p50 is per-query latency on
+    # the warm searcher.
+    searcher = Searcher(spark, idx)
     t0 = time.perf_counter()
-    n_results = bm25_topk_segments(spark, idx, qdf, k=10).count()
+    n_results = searcher.topk(fixture_queries(), k=10).count()
     query_batch_sec = time.perf_counter() - t0
 
-    # p50 single-query latency over 12 queries, one job each (warm index)
     lat = []
     for qid, qtext in fixture_queries()[:12]:
-        q1 = spark.createDataFrame([(qid, qtext)], ["query_id", "query_text"])
         t0 = time.perf_counter()
-        bm25_topk_segments(spark, idx, q1, k=10).collect()
+        searcher.topk([(qid, qtext)], k=10).collect()
         lat.append(time.perf_counter() - t0)
     lat.sort()
     p50 = lat[len(lat) // 2]

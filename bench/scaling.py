@@ -77,7 +77,7 @@ def main() -> None:
         gen_corpus(corpus, args.docs)
 
     results = {}
-    all_trials: dict[int, list] = {}
+    all_trials: dict[int, list[dict]] = {}
     for cpus in (args.n, args.n * 4):
         best = None
         all_trials[cpus] = []
@@ -85,35 +85,71 @@ def main() -> None:
             print(f"running level local[{cpus}] trial {trial + 1}/{args.trials} ...", flush=True)
             r = run_level(cpus, corpus, work)
             print("  ", r, flush=True)
-            all_trials[cpus].append(r["build_sec"])
+            all_trials[cpus].append(r)
             if best is None or r["build_sec"] < best["build_sec"]:
                 best = r
         results[cpus] = best
 
+    write_report(args, results, all_trials)
+
+
+def write_report(args, results, all_trials) -> None:
+    """Render BENCH/BASELINE.md. REPORTING DISCIPLINE: every build AND
+    query number in the headline table comes from the SAME trial (the
+    best-build trial per level); the full per-trial distributions are
+    printed alongside so no narrative number exists that is not in the raw
+    JSON below it."""
     lo, hi = results[args.n], results[args.n * 4]
     eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0
+    q_eff = (lo["query_batch_sec"] / hi["query_batch_sec"]) / 4.0
+    # query-batch speedup on its own best trials as a secondary view —
+    # still traceable to the raw JSON of every trial printed below
+    qb_lo = min(t["query_batch_sec"] for t in all_trials[args.n])
+    qb_hi = min(t["query_batch_sec"] for t in all_trials[args.n * 4])
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    def dist(cpus, key):
+        return ", ".join(
+            f"{t[key]:.2f}" for t in sorted(all_trials[cpus], key=lambda t: t[key])
+        )
+
+    raw = "\n".join(
+        json.dumps(t) for c in (args.n, args.n * 4) for t in all_trials[c]
+    )
     with open(args.out, "w") as f:
-        q_eff = (lo["query_batch_sec"] / hi["query_batch_sec"]) / 4.0
         f.write(
             f"""# BENCH/BASELINE — scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})
 
 Same job (full compressed index build: fused chunk+tokenize -> salted
-bucketed checkpoint -> delta+varbyte block-max segments; then the BM25/WAND
-query batch) on the same deterministic synthetic corpus ({args.docs} source
-files, BASELINE.json input_hint schema, seed 42), run in separate JVMs at
-two parallelism levels — the sandbox proxy for N vs 4N executors per the
-driver's round instructions. Best of {args.trials} trials per level
-(single-machine Spark wall times vary +-30% run to run; the best trial is
-the least-contended measurement of the same deterministic job).
+pre-sorted bucketed checkpoint [the only postings shuffle] -> no-shuffle
+delta+varbyte block-max segment encode; then the 50-query BM25/WAND batch
+and per-query p50 through the Searcher serving path) on the same
+deterministic synthetic corpus ({args.docs} source files, BASELINE.json
+input_hint schema, seed 42), run in separate JVMs at two parallelism
+levels — the sandbox proxy for N vs 4N executors per the driver's round
+instructions.
 
-| level | all trials (build sec) | best build sec | best files/sec | 50-query batch sec | query p50 sec |
-|---|---|---|---|---|---|
-| local[{args.n}] (N) | {', '.join(f"{t:.1f}" for t in sorted(all_trials[args.n]))} | {lo['build_sec']} | {lo['files_per_sec']} | {lo['query_batch_sec']} | {lo['query_p50_sec']} |
-| local[{args.n * 4}] (4N) | {', '.join(f"{t:.1f}" for t in sorted(all_trials[args.n * 4]))} | {hi['build_sec']} | {hi['files_per_sec']} | {hi['query_batch_sec']} | {hi['query_p50_sec']} |
+Headline numbers: best-BUILD trial per level, with that SAME trial's query
+numbers (no cross-trial mixing). Per-trial distributions for every metric
+follow, and the raw JSON of every trial is at the bottom.
+
+| level | best build sec | files/sec | 50-query batch sec (same trial) | query p50 sec (same trial) |
+|---|---|---|---|---|
+| local[{args.n}] (N) | {lo['build_sec']} | {lo['files_per_sec']} | {lo['query_batch_sec']} | {lo['query_p50_sec']} |
+| local[{args.n * 4}] (4N) | {hi['build_sec']} | {hi['files_per_sec']} | {hi['query_batch_sec']} | {hi['query_p50_sec']} |
 
 **Indexing-throughput scaling efficiency (N -> 4N): {eff:.3f}**
-(north rule target: >= 0.8). Query-batch scaling efficiency: {q_eff:.3f}.
+(north rule target: >= 0.8).
+**Query-batch scaling efficiency (same trials): {q_eff:.3f}**
+(1/4 = parity; the batch must at minimum not get slower with 4x workers —
+best-trial batch: {qb_lo:.2f}s @N -> {qb_hi:.2f}s @4N).
+
+Per-trial distributions ({args.trials} trials/level, sorted):
+
+| level | build sec | 50-query batch sec | query p50 sec |
+|---|---|---|---|
+| local[{args.n}] (N) | {dist(args.n, 'build_sec')} | {dist(args.n, 'query_batch_sec')} | {dist(args.n, 'query_p50_sec')} |
+| local[{args.n * 4}] (4N) | {dist(args.n * 4, 'build_sec')} | {dist(args.n * 4, 'query_batch_sec')} | {dist(args.n * 4, 'query_p50_sec')} |
 
 Methodology (documented deviations and controls):
 - N=4 vs 16 rather than 8 vs 32: local[32] saturates the whole machine, so
@@ -124,20 +160,24 @@ Methodology (documented deviations and controls):
   JIT/codegen warm-up measures ~15-20s per process REGARDLESS of core
   count, so leaving it in understates scaling instead of measuring the
   engine (BASELINE.md protocol: "warm session ... JVM warm-up excluded").
+- Wall times on this shared box vary +-30-50% run to run and the noise is
+  time-varying; best-of-{args.trials} per level is the least-contended
+  measurement of the same deterministic job. Full distributions above.
+- Query batch is timed with a COLD Searcher df cache (includes the one
+  bucket-pruned lexicon lookup); p50 is warm per-query latency.
 - Hardware ceiling control: the same chunk+tokenize kernel run as plain
   Python multiprocessing on this box scales at ~0.89 from 4 -> 16
   processes (memory-bandwidth bound), which bounds any attainable
   efficiency for the Python-heavy stages.
 
-Raw worker JSON (best trials):
+Raw worker JSON (ALL trials, N level first):
 
 ```json
-{json.dumps(lo)}
-{json.dumps(hi)}
+{raw}
 ```
 """
         )
-    print(f"efficiency: {eff:.3f} -> {args.out}")
+    print(f"efficiency: {eff:.3f} query_eff: {q_eff:.3f} -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -91,12 +91,23 @@ class IndexConfig:
     #: Store token positions in postings (needed for phrase queries; costs
     #: space). The north star's posting tuple is (docID, tf, positions).
     store_positions: bool = True
+    #: Target postings per checkpoint subgroup file (phase-1 partition
+    #: sizing). The subgroup count per bucket is
+    #: max(ceil(cores*8/buckets), ceil(est_postings/(buckets*this))): the
+    #: first term guarantees write parallelism on small corpora, the second
+    #: keeps checkpoint files small and UNIFORM so the phase-2 no-shuffle
+    #: scan gets one balanced encode task per file instead of bin-packed
+    #: stragglers. ~250k postings ≈ a few MB of checkpoint parquet; raise
+    #: it on real clusters where 64-128MB files are the sweet spot.
+    subgroup_target_postings: int = 250_000
 
     def __post_init__(self) -> None:
         if not 0.0 < self.hot_term_doc_fraction <= 1.0:
             raise ValueError("hot_term_doc_fraction must be in (0, 1]")
         if self.salt_buckets < 1 or self.block_size < 1 or self.term_buckets < 1:
             raise ValueError("salt_buckets/block_size/term_buckets must be >= 1")
+        if self.subgroup_target_postings < 1:
+            raise ValueError("subgroup_target_postings must be >= 1")
 
 
 @dataclass(frozen=True)

@@ -143,19 +143,28 @@ _HOT_SAMPLE_MARGIN = 0.5
 _HOT_MAX_TERMS = 2000
 
 
-def _presample_hot_terms(flat_sample: DataFrame, frac: float, cfg: EngineConfig) -> list[str]:
-    """Estimate hot terms from the flat postings of an input SAMPLE.
+def _presample_hot_terms(
+    flat_sample: DataFrame, frac: float, cfg: EngineConfig
+) -> tuple[list[str], int]:
+    """Estimate hot terms AND total posting count from the flat postings of
+    an input SAMPLE. -> (hot_terms, est_total_postings).
 
-    One job: per-term sampled df + total sampled chunk count (via observe on
-    the same action). The final threshold needs the chunk count, so the scan
-    pre-filters with the min_df-only bound and the doc-fraction bound is
-    applied driver-side on the (bounded) survivor list.
+    One job: per-term sampled df + sampled chunk/posting counts (via
+    observe on the same action). The final threshold needs the chunk count,
+    so the scan pre-filters with the min_df-only bound and the doc-fraction
+    bound is applied driver-side on the (bounded) survivor list. The
+    posting estimate sizes the checkpoint subgroup count (uniform small
+    files -> balanced no-shuffle encode tasks in phase 2).
     """
     obs = Observation("qkb_hot_sample")
     cut0 = cfg.index.hot_term_min_df * frac * _HOT_SAMPLE_MARGIN
     rows = (
         flat_sample.select("term", "first")
-        .observe(obs, F.sum("first").alias("n_chunks"))
+        .observe(
+            obs,
+            F.sum("first").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_postings"),
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_s"))
         .filter(F.col("df_s") > cut0)
@@ -164,6 +173,7 @@ def _presample_hot_terms(flat_sample: DataFrame, frac: float, cfg: EngineConfig)
         .collect()
     )
     n_chunks_s = int(obs.get["n_chunks"] or 0)
+    est_postings = int((obs.get["n_postings"] or 0) / frac)
     thresh_s = (
         max(
             cfg.index.hot_term_min_df * frac,
@@ -172,7 +182,20 @@ def _presample_hot_terms(flat_sample: DataFrame, frac: float, cfg: EngineConfig)
         * _HOT_SAMPLE_MARGIN
     )
     hot = [r["term"] for r in rows if r["df_s"] > thresh_s][:_HOT_MAX_TERMS]
-    return sorted(hot)
+    return sorted(hot), est_postings
+
+
+def _subgroups_per_bucket(cores: int, nb: int, est_postings: int, cfg: EngineConfig) -> int:
+    """Checkpoint subgroup count g: cores-based floor (write parallelism on
+    small inputs) lifted by a size-based term so files stay small and
+    UNIFORM — the phase-2 scan then yields one balanced encode task per
+    file. Size-based g is the same at every cluster size, so N and 4N runs
+    build the identical layout."""
+    return max(
+        1,
+        math.ceil(cores * 8 / nb),
+        math.ceil(est_postings / (nb * cfg.index.subgroup_target_postings)),
+    )
 
 
 def _partition_encoder(cfg: EngineConfig):
@@ -308,9 +331,6 @@ def build_index(
     flat_dir = join_path(index_dir, "flat")
     stats_path = join_path(index_dir, "meta", "stats.json")
     hot_path = join_path(index_dir, "meta", "hot_terms.json")
-    # encode/write sub-partitions per bucket: scales parallelism with cores
-    # and bounds each phase-1 sort buffer / phase-2 encode partition
-    g = max(1, math.ceil(cores * 8 / nb))
 
     # ---- phase 0: hot-term detection on a ~2% input sample, BEFORE phase 1.
     # Salt is a pure function of (term in hot set, doc_id), so knowing the
@@ -333,16 +353,26 @@ def build_index(
             if documents is not None
             else flat_postings_from_chunks(chunks.sample(False, frac, seed=42))
         )
-        hot = _presample_hot_terms(sample_flat, frac, cfg)
+        hot, est_postings = _presample_hot_terms(sample_flat, frac, cfg)
         fs.write_text_atomic(
             hot_path,
-            json.dumps({"hot_terms": hot, "sample_fraction": frac}),
+            json.dumps(
+                {
+                    "hot_terms": hot,
+                    "sample_fraction": frac,
+                    "est_postings": est_postings,
+                }
+            ),
         )
         _mark("phase0 hot-term presample")
-    hot_terms: list[str] = (
-        json.loads(fs.read_text(hot_path))["hot_terms"]
-        if fs.exists(hot_path)
-        else []
+    _hot_payload = (
+        json.loads(fs.read_text(hot_path)) if fs.exists(hot_path) else {}
+    )
+    hot_terms: list[str] = _hot_payload.get("hot_terms", [])
+    # subgroup count: persisted estimate keeps g (and thus the checkpoint
+    # layout + salt-independent grouping) stable across resumes and levels
+    g = _subgroups_per_bucket(
+        cores, nb, int(_hot_payload.get("est_postings", 0)), cfg
     )
     salt_col = (
         F.when(
@@ -438,24 +468,30 @@ def build_index(
 
     # ---- phase 2: per-bucket-wave encode, idempotent, resumable ----------
     # The checkpoint is already salted, grouped and sorted, so the default
-    # path is scan -> encode -> write: ZERO shuffles. Safety: a parquet file
-    # larger than the scan's maxPartitionBytes would be byte-range split
-    # (degrading to extra partial segment rows — the query path merges
-    # partials exactly like salted sub-lists, so it stays correct but
-    # non-canonical); raise the limit for this session so every checkpoint
-    # file maps to whole scan partitions. QKB_P2_SHUFFLE=1 forces the
+    # path is scan -> encode -> write: ZERO shuffles. Scan partition sizing
+    # is the whole game for a CPU-bound Python encode: the bin size is set
+    # to ~2x the MEDIAN checkpoint file so each (uniform, subgroup-sized)
+    # file becomes one balanced encode task. Outlier files above the bin
+    # get byte-range split — harmless: parquet row groups are atomic, so a
+    # split merely yields an extra partial segment row per straddled group,
+    # and the query path merges partials exactly like salted sub-lists
+    # (packing everything into biggest-file-sized bins instead was measured
+    # 35% slower: few fat uneven tasks). QKB_P2_SHUFFLE=1 forces the
     # explicit repartition+sort path (A/B and belt-and-suspenders).
     pending = [b for b in range(nb) if not fs.exists(_meta_path(index_dir, b))]
     encoder = _partition_encoder(cfg)
     segments_dir = join_path(index_dir, "segments")
     force_shuffle = os.environ.get("QKB_P2_SHUFFLE") == "1"
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
     if pending and not force_shuffle:
-        biggest = fs.max_file_size(flat_dir)
-        if biggest + (1 << 20) > _parse_bytes_conf(prev_mpb):
-            spark.conf.set(
-                "spark.sql.files.maxPartitionBytes", str(biggest + (1 << 20))
-            )
+        sizes = sorted(fs.file_sizes(flat_dir))
+        p50 = sizes[len(sizes) // 2] if sizes else 0
+        bin_bytes = max(4 << 20, 2 * p50)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(bin_bytes))
+        # openCost >= bin/2 stops tiny-file packing from merging more than
+        # ~2 files per task (task balance beats listing cost here)
+        spark.conf.set("spark.sql.files.openCostInBytes", str(bin_bytes // 2))
     try:
         _run_waves(
             spark, fs, index_dir, flat_all, encoder, segments_dir, pending,
@@ -463,6 +499,7 @@ def build_index(
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
 
     # ---- phase 3: term -> global df lexicon (tiny; serve-time fixed-cost
     # killer). One row per distinct term, partitioned by bucket so a query

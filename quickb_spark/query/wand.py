@@ -213,7 +213,7 @@ def _range_bounds(r_count: int) -> list[tuple[int, int, int]]:
     return out
 
 
-def _make_scorer(n_docs, avgdl, k, k1, b, strategy, block_size):
+def _make_scorer(n_docs, avgdl, k, k1, b, strategy, block_size, emit_rank=False):
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = key[0]
         lo = int(pdf["lo"].iat[0])
@@ -263,13 +263,18 @@ def _make_scorer(n_docs, avgdl, k, k1, b, strategy, block_size):
             doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
         else:
             doc_ids, scores = _exact_topk(terms, k)
-        return pd.DataFrame(
-            {
-                "query_id": [query_id] * len(doc_ids),
-                "doc_id": doc_ids,
-                "score": scores,
-            }
-        )
+        out = {
+            "query_id": [query_id] * len(doc_ids),
+            "doc_id": doc_ids,
+            "score": scores,
+        }
+        if emit_rank:
+            # single-range mode: this group's top-k IS the final answer
+            # (scorer output is already (score desc, doc_id asc) ordered),
+            # so rank is assigned here and the driver-side window merge is
+            # skipped entirely — one fewer shuffle per query batch
+            out["rank"] = list(range(1, len(doc_ids) + 1))
+        return pd.DataFrame(out)
 
     return scorer
 
@@ -433,6 +438,49 @@ def _segment_candidates(
     )
 
 
+def _score_segments(
+    spark: SparkSession,
+    seg: DataFrame,
+    qt: DataFrame,
+    df_map: DataFrame,
+    stats: dict,
+    k: int,
+    k1: float,
+    b: float,
+    strategy: str,
+    r_count: int,
+) -> DataFrame:
+    """Shared scoring core: pruned segment rows ⋈ broadcast (query, term)
+    map ⋈ broadcast global df → JVM-side range slicing → scorer → top-k.
+    Used by bm25_topk_segments (self-contained) and Searcher (cached
+    stats/lexicon, minimal per-batch jobs)."""
+    block_size = int(stats.get("block_size", 128))
+    joined = seg.join(F.broadcast(qt), "term").join(F.broadcast(df_map), "term")
+    sliced = _slice_to_ranges(spark, joined, r_count, block_size)
+    scorer = _make_scorer(
+        stats["n_docs"], stats["avgdl"], k, k1, b, strategy, block_size,
+        emit_rank=(r_count == 1),
+    )
+    if r_count == 1:
+        # one range covers the full doc space: each query group's top-k is
+        # final, rank comes from the scorer, no window merge needed
+        return sliced.groupBy("query_id", "range_id").applyInPandas(
+            scorer, "query_id string, doc_id long, score double, rank int"
+        ).select("query_id", "rank", "doc_id", "score")
+    scored = sliced.groupBy("query_id", "range_id").applyInPandas(
+        scorer, "query_id string, doc_id long, score double"
+    )
+    # exact merge: ranges partition docIDs, so the union of per-range
+    # partials contains every candidate doc exactly once
+    return topk_window(scored, k)
+
+
+def _auto_ranges(total_postings: int) -> int:
+    return int(
+        max(1, min(MAX_RANGES, -(-total_postings // RANGE_TARGET_POSTINGS)))
+    )
+
+
 def bm25_topk_segments(
     spark: SparkSession,
     index_dir: str,
@@ -456,13 +504,16 @@ def bm25_topk_segments(
     candidate-posting count (one range per ~2M postings, capped at 32), an
     int forces it. All values return identical results (ranges partition
     the doc space; tested).
+
+    Self-contained one-shot form: re-lists the index and re-derives per-term
+    df per call. For serving (repeated batches against one index), use
+    quickb_spark.query.searcher.Searcher — same results, cached fixed costs.
     """
     if use_wand is True:
         strategy = "wand"
     elif use_wand is False:
         strategy = "exact"
     stats = load_stats(index_dir)
-    block_size = int(stats.get("block_size", 128))
     qt = query_terms(queries)
     # ONE driver round-trip for both pruning literal sets (term + bucket)
     tb_rows = (
@@ -484,18 +535,10 @@ def bm25_topk_segments(
     )
     if ranges == "auto":
         total = seg.agg(F.sum("df_part")).collect()[0][0] or 0
-        r_count = int(max(1, min(MAX_RANGES, -(-total // RANGE_TARGET_POSTINGS))))
+        r_count = _auto_ranges(total)
     else:
         r_count = int(ranges)
     df_map = seg.groupBy("term").agg(F.sum("df_part").alias("df_total"))
-    joined = seg.join(F.broadcast(qt), "term").join(F.broadcast(df_map), "term")
-    sliced = _slice_to_ranges(spark, joined, r_count, block_size)
-    scorer = _make_scorer(
-        stats["n_docs"], stats["avgdl"], k, k1, b, strategy, block_size
+    return _score_segments(
+        spark, seg, qt, df_map, stats, k, k1, b, strategy, r_count
     )
-    scored = sliced.groupBy("query_id", "range_id").applyInPandas(
-        scorer, "query_id string, doc_id long, score double"
-    )
-    # exact merge: ranges partition docIDs, so the union of per-range
-    # partials contains every candidate doc exactly once
-    return topk_window(scored, k)

@@ -244,11 +244,10 @@ def fold_deltas_into_index(
     # salt)) and sorted, so the no-shuffle phase-2 encode applies to folded
     # buckets too.
     hot_path = join_path(index_dir, "meta", "hot_terms.json")
-    hot = (
-        json.loads(fs.read_text(hot_path))["hot_terms"]
-        if fs.exists(hot_path)
-        else []
+    payload = (
+        json.loads(fs.read_text(hot_path)) if fs.exists(hot_path) else {}
     )
+    hot = payload.get("hot_terms", [])
     salt_col = (
         F.when(
             F.col("term").isin(hot),
@@ -257,9 +256,13 @@ def fold_deltas_into_index(
         if hot
         else F.lit(0).cast("int")
     )
-    g = max(
-        1,
-        -(-spark.sparkContext.defaultParallelism * 8 // cfg.index.term_buckets),
+    from quickb_spark.index.segments import _subgroups_per_bucket
+
+    g = _subgroups_per_bucket(
+        spark.sparkContext.defaultParallelism,
+        cfg.index.term_buckets,
+        int(payload.get("est_postings", 0)),
+        cfg,
     )
     merged = (
         spark.read.parquet(flat_dir)

@@ -1,0 +1,104 @@
+"""Serving-path Searcher: result identity with the one-shot query path,
+driver-side hashing parity, lexicon correctness, df caching."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickb_spark.config import EngineConfig, IndexConfig
+from quickb_spark.corpus import fixture_queries, generate_documents_df
+from quickb_spark.functions.hashing import bucket_of, xxhash64
+from quickb_spark.index.segments import build_index
+from quickb_spark.query.searcher import Searcher
+from quickb_spark.query.wand import bm25_topk_segments
+
+CFG = EngineConfig(
+    index=IndexConfig(
+        hot_term_doc_fraction=0.2,
+        hot_term_min_df=50,
+        salt_buckets=4,
+        block_size=32,
+        term_buckets=16,
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("searcher_idx"))
+    docs = generate_documents_df(spark, 200, seed=7, partitions=4)
+    build_index(spark, index_dir=idx, cfg=CFG, documents=docs)
+    return idx
+
+
+def _ranked(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.collect()
+    )
+
+
+def test_xxhash64_matches_spark(spark):
+    cases = [
+        "", "a", "def", "import", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+        "v" * 100, "héllo wörld", "日本語テスト", "tab\tnew\nline",
+        "0123456789abcdef" * 5,
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for c in cases:
+        assert xxhash64(c) == got[c], repr(c)
+    # bucket_of mirrors pmod semantics (non-negative for negative hashes)
+    for c in cases:
+        assert 0 <= bucket_of(c, 16) < 16
+
+
+def test_lexicon_matches_segment_df(spark, built):
+    lex = spark.read.parquet(f"{built}/lexicon").select("term", "df")
+    seg_df = (
+        spark.read.parquet(f"{built}/segments")
+        .groupBy("term")
+        .agg(F.sum("df_part").alias("df"))
+    )
+    assert sorted(map(tuple, lex.collect())) == sorted(
+        map(tuple, seg_df.collect())
+    )
+
+
+def test_searcher_identical_to_one_shot(spark, built):
+    qdf = spark.createDataFrame(fixture_queries()[:8], ["query_id", "query_text"])
+    want = _ranked(bm25_topk_segments(spark, built, qdf, k=10))
+    s = Searcher(spark, built)
+    # list input (serving form), cold df cache
+    got_list = _ranked(s.topk(fixture_queries()[:8], k=10))
+    # DataFrame input, warm df cache — must not change anything
+    got_df = _ranked(s.topk(qdf, k=10))
+    assert got_list == want
+    assert got_df == want
+    # forced range fan-out and strategy still identical
+    assert _ranked(s.topk(fixture_queries()[:8], k=10, ranges=4)) == want
+    assert (
+        _ranked(s.topk(fixture_queries()[:8], k=10, strategy="wand")) == want
+    )
+
+
+def test_searcher_absent_and_empty_queries(spark, built):
+    s = Searcher(spark, built)
+    assert s.topk([("q1", "zzqqxxnotaterm qqzzyy")], k=5).count() == 0
+    assert s.topk([("q1", "")], k=5).count() == 0
+    # negative caching: absent terms are cached as df=0
+    assert s._df_cache["zzqqxxnotaterm"] == 0
+
+
+def test_searcher_df_cache_short_circuits(spark, built):
+    s = Searcher(spark, built)
+    s.topk(fixture_queries()[:4], k=5).count()
+    warm = dict(s._df_cache)
+    # second call with the same queries must not add lookups
+    s.topk(fixture_queries()[:4], k=5).count()
+    assert s._df_cache == warm
