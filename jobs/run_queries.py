@@ -24,10 +24,17 @@ def main() -> None:
     ap.add_argument("--output", default=None)
     ap.add_argument("--strategy", default="auto", choices=["auto", "wand", "exact"])
     ap.add_argument("--ranges", default="auto", help="docID-range fan-out per query")
+    ap.add_argument(
+        "--one-shot",
+        action="store_true",
+        help="use the self-contained bm25_topk_segments call instead of the "
+        "Searcher serving path (identical results; pays per-call fixed costs)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
+    from quickb_spark.query.searcher import Searcher
     from quickb_spark.query.wand import bm25_topk_segments
 
     spark = SparkSession.builder.appName("quickb-run-queries").getOrCreate()
@@ -37,10 +44,15 @@ def main() -> None:
         queries = spark.read.parquet(args.queries)
 
     ranges = args.ranges if args.ranges == "auto" else int(args.ranges)
-    result = bm25_topk_segments(
-        spark, args.index_dir, queries, k=args.k,
-        strategy=args.strategy, ranges=ranges,
-    )
+    if args.one_shot:
+        result = bm25_topk_segments(
+            spark, args.index_dir, queries, k=args.k,
+            strategy=args.strategy, ranges=ranges,
+        )
+    else:
+        result = Searcher(spark, args.index_dir).topk(
+            queries, k=args.k, strategy=args.strategy, ranges=ranges
+        )
     if args.output:
         result.write.mode("overwrite").parquet(args.output)
     else:

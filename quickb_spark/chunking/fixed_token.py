@@ -94,10 +94,14 @@ def split_text_on_token_windows(
     chunk_size - chunk_overlap, each decoded back to text. Kept
     iteration-exact (empty input -> no chunks) so the conformance test can
     assert byte identity against the reference executed directly."""
-    if chunk_overlap > chunk_size:
+    if chunk_overlap >= chunk_size:
+        # DELIBERATE deviation from the reference guard (which only rejects
+        # overlap > size): overlap == size means stride 0 — the window walk
+        # can never terminate, and inside a pandas UDF that hangs an
+        # executor task with no diagnostic instead of raising here.
         raise ValueError(
-            f"Got a larger chunk overlap ({chunk_overlap}) than chunk size "
-            f"({chunk_size}), should be smaller."
+            f"Got a chunk overlap ({chunk_overlap}) >= chunk size "
+            f"({chunk_size}); a zero or negative stride can never terminate."
         )
     codec = codec or whitespace_codec()
     splits: list[str] = []

@@ -65,6 +65,20 @@ def _fixed_token(cfg: ChunkerConfig):
     return run
 
 
+@ChunkerRegistry.register("ClusterSemanticChunker")
+def _cluster_semantic(cfg: ChunkerConfig):
+    from quickb_spark.chunking.cluster_semantic import (
+        cluster_semantic_chunk_documents,
+    )
+
+    def run(docs: DataFrame) -> DataFrame:
+        # reference defaults: max_chunk_size=400 (the config chunk_size),
+        # min_chunk_size=50 first-stage pieces
+        return cluster_semantic_chunk_documents(docs, max_chunk_size=cfg.chunk_size)
+
+    return run
+
+
 def chunk_documents_with(name: str, docs: DataFrame, cfg: ChunkerConfig | None = None) -> DataFrame:
     """Dispatch by config string, reference-style."""
     return ChunkerRegistry.get(name)(cfg or ChunkerConfig())(docs)

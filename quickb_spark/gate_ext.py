@@ -117,6 +117,19 @@ def q_fixed_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: ClusterSemanticChunker — DP-optimal semantic grouping of
+    min-size pieces (reference cluster_semantic_chunker.py:88-123) with the
+    deterministic hash embedder. Rows-only: the DP is iterative and not
+    SQL-expressible; the byte-identity oracle executes the REFERENCE
+    chunker with the same embedder injected (tests/test_cluster_semantic.py)."""
+    from quickb_spark.chunking.cluster_semantic import (
+        cluster_semantic_chunk_documents,
+    )
+
+    return cluster_semantic_chunk_documents(gate._as_corpus(spark, sf_dir))
+
+
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: retrieval-eval metrics (reference train.py:70-76 evaluator) over
     the gate BM25 ranking. Golden pairs are derived deterministically on
@@ -228,11 +241,24 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_seeded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7: seeded train/test split sizes (engine-side determinism only)."""
+    """G7: deterministic train/test split sizes. Split by a pure hash of
+    the row key (first md5 hex digit '0' -> test, ~1/16), NOT randomSplit:
+    randomSplit's draws depend on the physical partition layout, so an
+    upstream repartition would silently change the split — a hash of the
+    key is partitioning-, cluster-size- and retry-invariant, and gives the
+    op an exact SQL oracle."""
     docs = gate.load(spark, sf_dir, "documents")
-    train, test = docs.randomSplit([0.9, 0.1], seed=42)
-    return spark.createDataFrame(
-        [("train", train.count()), ("test", test.count())], "split string, n long"
+    return (
+        docs.select(
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0",
+                F.lit("test"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -348,6 +374,11 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "c13_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
     ),
+    "g7_seeded_split": (
+        "SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' "
+        "THEN 'test' ELSE 'train' END AS split, count(*) AS n "
+        "FROM documents GROUP BY 1"
+    ),
 }
 
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -361,10 +392,12 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c13_json_extract": q_json_extract,
     # rows-only:
     "c5_fixed_token_chunks": q_fixed_token_chunks,
+    "m2_cluster_semantic_chunks": q_cluster_semantic_chunks,
     "t3_embed_near_dup": q_embed_near_dup,
     "t1_wand_segments": q_wand_segments,
     "s10_segments_meta": q_segments_meta,
     "mm_media_features": q_media_features,
     "mm_media_frames": q_media_frames,
+    # oracle-backed since round 3 (hash split replaced randomSplit):
     "g7_seeded_split": q_seeded_split,
 }

@@ -564,7 +564,8 @@ def _run_waves(
         )
         wave_stats = {int(r["bucket"]): r for r in wave_rows}
         build_ms = int((time.perf_counter() - t0) * 1000 / max(len(wave), 1))
-        for b in wave:
+
+        def _commit(b: int) -> None:
             r = wave_stats.get(b)
             meta = {
                 "segment_id": f"seg-{b:05d}",
@@ -579,6 +580,15 @@ def _run_waves(
                 "committed_at": time.time(),
             }
             fs.write_text_atomic(_meta_path(index_dir, b), json.dumps(meta))
+
+        # driver-side FS round-trips are latency-bound, not CPU-bound —
+        # commit the wave's metas concurrently (py4j opens one gateway
+        # connection per thread; each meta write stays individually atomic,
+        # so resume semantics are unchanged)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(wave))) as pool:
+            list(pool.map(_commit, wave))
         _mark("phase2 meta commits")
 
 

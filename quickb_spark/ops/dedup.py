@@ -38,6 +38,7 @@ __all__ = [
     "exact_dup_groups",
     "shingles_col",
     "minhash_signatures",
+    "minhash_signatures_xxhash64",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash_py",
@@ -101,6 +102,34 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_xxhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Production minhash variant: h_i(doc) = MIN over shingles of
+    xxhash64(i, shingle) — int64 min-hashes, JVM-side, 8 bytes each on the
+    shuffle instead of md5's 32-char hex strings (4x less exchange traffic
+    and no string comparisons in the partial agg). Same signature/banding
+    contract as `minhash_signatures`, drop-in for `lsh_candidate_pairs`.
+
+    The md5 variant stays the GATE implementation because DuckDB cannot
+    compute xxhash64, and the correctness harness demands a bit-identical
+    SQL oracle; equivalence of the two variants' LSH behavior is asserted
+    in tests/test_dedup.py.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    ).distinct()
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -146,6 +175,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 10_000,
+    hash_to_int64: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -165,15 +196,19 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles_col(text_col, shingle_n)).alias("_s"),
-        )
-        .select("id", F.xxhash64("_s").alias("shingle"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, shingle_n)).alias("_s"),
     )
+    # hash_to_int64/persist toggles exist for controlled A/B measurement
+    # (bench/jaccard_ab.py); production keeps both on
+    if hash_to_int64:
+        sh = sh.select("id", F.xxhash64("_s").alias("shingle"))
+    else:
+        sh = sh.withColumnRenamed("_s", "shingle")
+    sh = sh.distinct()
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     joinable = sh
     if max_shingle_df is not None:
@@ -206,15 +241,18 @@ def ngram_jaccard_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """(id, comp) for every id appearing in the undirected edge set
     (id_a, id_b); comp is the component's minimum id.
 
-    Iterative min-label propagation with driver-side convergence checks and
-    localCheckpoint lineage truncation — the standard Spark shape for small
-    iterative graph algorithms. Near-dup graphs have tiny components, so it
-    converges in a handful of rounds regardless of corpus size (the loop is
-    over component DIAMETER, not data volume).
+    Min-label propagation PLUS a pointer-doubling shortcut each round
+    (comp <- comp-of-comp), so convergence is O(log diameter) — long
+    near-dup chains (exactly what boilerplate clusters produce) converge in
+    a handful of rounds instead of one hop per round. Driver-side
+    convergence check each round; raises if the hard iteration cap is hit
+    rather than silently returning unconverged labels (which would make
+    greedy_keep_first split one component across groups and emit
+    conflicting verdicts). 2^50 exceeds any physical diameter.
     """
     edges = pairs.select("id_a", "id_b").distinct()
     labels = (
@@ -242,27 +280,43 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("id")
             .agg(F.min("cand").alias("cand"))
         )
+        hop = labels.join(cand, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("cand", F.col("comp"))).alias("comp"),
+            F.col("comp").alias("_old"),
+        )
+        # pointer doubling: comp is always the id of some labelled node, so
+        # jump to that node's label (comp-of-comp) — labels are monotone
+        # non-increasing, making the jump always valid and halving the
+        # remaining chain length each round
         new_labels = (
-            labels.join(cand, "id", "left")
+            hop.join(
+                labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("_cc")
+                ),
+                "comp",
+            )
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("cand", F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("comp") != F.least(F.col("comp"), F.coalesce("cand", F.col("comp"))))
-                .cast("int")
-                .alias("_chg"),
+                F.least("comp", "_cc").alias("comp"),
+                (F.col("_old") != F.least("comp", "_cc")).cast("int").alias("_chg"),
             )
             .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = new_labels.drop("_chg")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations — "
+        "with pointer doubling this implies component diameter > "
+        f"2^{max_iter}; the edge set is likely inconsistent"
+    )
 
 
-def greedy_keep_first(pairs: DataFrame) -> DataFrame:
+def greedy_keep_first(
+    pairs: DataFrame, max_component_edges: int = 1_000_000
+) -> DataFrame:
     """Reference-exact greedy near-dup filter, distributed.
 
     The reference walks items in order and drops an item iff it is similar
@@ -270,10 +324,19 @@ def greedy_keep_first(pairs: DataFrame) -> DataFrame:
     — note: similar to a DROPPED item does not drop you, so this is NOT
     connected-component dedup). Distributed shape: similarity edges only
     connect items within a connected component, so the sequential walk is
-    run independently per component in applyInPandas — exact semantics,
-    and component sizes (near-dup clusters) stay tiny at any corpus scale.
+    run independently per component in applyInPandas — exact semantics.
     Order is ascending id, the engine's deterministic analog of
     first-occurrence (same convention as exact_dup_groups' keep-min-id).
+
+    GIANT-COMPONENT GUARD: near-dup clusters are tiny for organic text, but
+    web-scale boilerplate/license clusters can reach millions of docs — a
+    single such component would funnel into one Python task with an
+    O(|C|·|kept|) loop. Components with more than `max_component_edges`
+    edges therefore fall back to deterministic keep-min-id (keep exactly
+    the component's minimum id, drop the rest) — declarative, no Python
+    task. For a dense near-clique (which is what a giant boilerplate
+    cluster is), greedy-keep-first itself degenerates to keep-min-id, so
+    the fallback matches the exact semantics precisely where it engages.
 
     pairs: (id_a, id_b) similar pairs with id_a < id_b.
     -> (id, keep boolean) for every id in the pair graph; ids with no
@@ -284,6 +347,12 @@ def greedy_keep_first(pairs: DataFrame) -> DataFrame:
     p = pairs.join(
         comp.select(F.col("id").alias("id_a"), "comp"), "id_a"
     ).select("comp", "id_a", "id_b")
+    # one row per component — can itself be huge at corpus scale, so no
+    # broadcast hint: a plain comp-keyed join (AQE picks the strategy)
+    sizes = p.groupBy("comp").agg(F.count(F.lit(1)).alias("_n_edges"))
+    p = p.join(sizes, "comp")
+    small = p.filter(F.col("_n_edges") <= max_component_edges).drop("_n_edges")
+    giant = p.filter(F.col("_n_edges") > max_component_edges)
 
     def walk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(pdf["id_a"]) | set(pdf["id_b"]))
@@ -301,7 +370,16 @@ def greedy_keep_first(pairs: DataFrame) -> DataFrame:
                 out.append((i, True))
         return pd.DataFrame(out, columns=["id", "keep"])
 
-    return p.groupBy("comp").applyInPandas(walk, "id long, keep boolean")
+    verdicts = small.groupBy("comp").applyInPandas(walk, "id long, keep boolean")
+    # comp IS the component's minimum id, so keep-min-id is (id == comp)
+    giant_verdicts = (
+        giant.select(
+            "comp", F.explode(F.array("id_a", "id_b")).alias("id")
+        )
+        .distinct()
+        .select("id", (F.col("id") == F.col("comp")).alias("keep"))
+    )
+    return verdicts.unionByName(giant_verdicts)
 
 
 def embedding_near_dup_pairs(
@@ -317,34 +395,32 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate candidate pairs WITHOUT the O(n^2)
     all-pairs matrix the reference builds (deduplicator.py:38-52):
     random-hyperplane LSH buckets the corpus; multi-probe (each vector also
-    probes the buckets one sign-bit away) recovers pairs that straddle a
-    hyperplane; exact JVM-side cosine then verifies every candidate.
+    probes the buckets one sign-flip away, least-|margin| planes first — a
+    near-dup that hashed elsewhere most likely differs on the plane this
+    vector is closest to) recovers pairs that straddle a hyperplane; exact
+    JVM-side cosine then verifies every candidate.
 
     -> (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
     """
     from quickb_spark.functions.rounding import grid4
-    from quickb_spark.ops.similarity import cosine_col, hyperplane_bucket_udf
+    from quickb_spark.ops.similarity import (
+        cosine_col,
+        hyperplane_bucket_udf,
+        hyperplane_probes_udf,
+    )
 
     bucket = hyperplane_bucket_udf(dim, n_planes, seed)
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_bucket", bucket(F.col("_v")))
-    probes = F.array_distinct(
-        F.array(
-            F.col("_bucket"),
-            *[
-                F.col("_bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(max(0, min(n_probes - 1, n_planes)))
-            ],
-        )
-    )
-    left = base.select(
+    probes = hyperplane_probes_udf(dim, n_planes, n_probes, seed)
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    left = src.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
-        F.explode(probes).alias("_bucket"),
+        F.explode(probes(F.col("_v"))).alias("_bucket"),
     )
-    right = base.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+    right = src.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        bucket(F.col("_v")).alias("_bucket"),
     )
     return (
         left.join(right, "_bucket")

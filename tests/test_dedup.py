@@ -68,3 +68,32 @@ def test_simhash_empty_inputs(spark, docs):
         for r in docs.select("doc_id", simhash_col("text").alias("simhash")).collect()
     }
     assert got[3] == 0 and got[4] == 0 and got[5] == 0
+
+
+def test_xxhash64_minhash_variant_matches_md5_lsh_behavior(spark, docs):
+    """Production int64 minhash: exact duplicates must collide on every
+    band in BOTH variants, and the banded-LSH candidate sets restricted to
+    true duplicates agree (the hash FAMILIES differ, so borderline
+    near-dup candidates may differ — the exact-Jaccard verify stage is
+    what makes the pipeline's final output hash-family-independent)."""
+    from quickb_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_signatures_xxhash64,
+    )
+
+    md5_sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    xx_sig = minhash_signatures_xxhash64(docs, "doc_id", "text", num_hashes=8)
+    # identical text -> identical signature vector, per variant
+    for sig in (md5_sig, xx_sig):
+        rows = {r["doc_id"]: tuple(r)[1:] for r in sig.collect()}
+        assert rows[0] == rows[1]
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(md5_sig, "doc_id", 8).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(xx_sig, "doc_id", 8).collect()
+    }
+    assert (0, 1) in md5_pairs and (0, 1) in xx_pairs  # exact dup found by both

