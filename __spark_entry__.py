@@ -4,7 +4,8 @@
 BM25 top-k) on sf0.001. `queries()` exposes one entry per implemented
 operator from SURVEY.md §2; `oracle_sql()` gives each a DuckDB-equivalent
 ANSI-SQL string. Rows-only entries (no SQL oracle by nature — recursive /
-fixed-token chunking, simhash, LSH-ANN, compressed-segment WAND serving,
+fixed-token / semantic (cluster-DP, Kamradt-threshold) chunking, simhash,
+LSH-ANN, compressed-segment WAND serving,
 resumability lineage, multimodal kernels, greedy near-dup, seeded split)
 are covered by the Python/reference-execution oracles in tests/.
 """

@@ -79,6 +79,18 @@ def _cluster_semantic(cfg: ChunkerConfig):
     return run
 
 
+@ChunkerRegistry.register("KamradtModifiedChunker")
+def _kamradt(cfg: ChunkerConfig):
+    from quickb_spark.chunking.kamradt import kamradt_chunk_documents
+
+    def run(docs: DataFrame) -> DataFrame:
+        # reference defaults: avg_chunk_size=400 (the config chunk_size),
+        # min_chunk_size=50 first-stage pieces
+        return kamradt_chunk_documents(docs, avg_chunk_size=cfg.chunk_size)
+
+    return run
+
+
 def chunk_documents_with(name: str, docs: DataFrame, cfg: ChunkerConfig | None = None) -> DataFrame:
     """Dispatch by config string, reference-style."""
     return ChunkerRegistry.get(name)(cfg or ChunkerConfig())(docs)

@@ -130,6 +130,18 @@ def q_cluster_semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_semantic_chunk_documents(gate._as_corpus(spark, sf_dir))
 
 
+def q_kamradt_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: KamradtModifiedChunker — binary-searched semantic distance
+    threshold over min-size pieces (reference
+    kamradt_modified_chunker.py:75-105) with the deterministic hash
+    embedder. Rows-only: the threshold search is iterative and not
+    SQL-expressible; the byte-identity oracle executes the REFERENCE
+    chunker with the same embedder injected (tests/test_kamradt.py)."""
+    from quickb_spark.chunking.kamradt import kamradt_chunk_documents
+
+    return kamradt_chunk_documents(gate._as_corpus(spark, sf_dir))
+
+
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: retrieval-eval metrics (reference train.py:70-76 evaluator) over
     the gate BM25 ranking. Golden pairs are derived deterministically on
@@ -393,6 +405,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only:
     "c5_fixed_token_chunks": q_fixed_token_chunks,
     "m2_cluster_semantic_chunks": q_cluster_semantic_chunks,
+    "m3_kamradt_chunks": q_kamradt_chunks,
     "t3_embed_near_dup": q_embed_near_dup,
     "t1_wand_segments": q_wand_segments,
     "s10_segments_meta": q_segments_meta,
