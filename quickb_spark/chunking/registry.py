@@ -79,6 +79,16 @@ def _cluster_semantic(cfg: ChunkerConfig):
     return run
 
 
+@ChunkerRegistry.register("LLMSemanticChunker")
+def _llm_semantic(cfg: ChunkerConfig):
+    from quickb_spark.chunking.llm_semantic import llm_semantic_chunk_documents
+
+    def run(docs: DataFrame) -> DataFrame:
+        return llm_semantic_chunk_documents(docs)
+
+    return run
+
+
 @ChunkerRegistry.register("KamradtModifiedChunker")
 def _kamradt(cfg: ChunkerConfig):
     from quickb_spark.chunking.kamradt import kamradt_chunk_documents

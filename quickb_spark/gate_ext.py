@@ -142,6 +142,18 @@ def q_kamradt_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kamradt_chunk_documents(gate._as_corpus(spark, sf_dir))
 
 
+def q_llm_semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: LLMSemanticChunker — completer-guided split-point orchestration
+    (reference llm_semantic_chunker.py:101-124) with the deterministic
+    responder seam standing in for the LLM. Rows-only: the window walk is
+    iterative and not SQL-expressible; the byte-identity oracle executes
+    the REFERENCE chunker with the same responder injected
+    (tests/test_llm_semantic.py)."""
+    from quickb_spark.chunking.llm_semantic import llm_semantic_chunk_documents
+
+    return llm_semantic_chunk_documents(gate._as_corpus(spark, sf_dir))
+
+
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: retrieval-eval metrics (reference train.py:70-76 evaluator) over
     the gate BM25 ranking. Golden pairs are derived deterministically on
@@ -406,6 +418,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c5_fixed_token_chunks": q_fixed_token_chunks,
     "m2_cluster_semantic_chunks": q_cluster_semantic_chunks,
     "m3_kamradt_chunks": q_kamradt_chunks,
+    "g8_llm_semantic_chunks": q_llm_semantic_chunks,
     "t3_embed_near_dup": q_embed_near_dup,
     "t1_wand_segments": q_wand_segments,
     "s10_segments_meta": q_segments_meta,
