@@ -78,7 +78,7 @@ def test_registry_dispatch_and_unknown(spark):
     assert rec.columns == fix.columns
     assert rec.count() > 0 and fix.count() > 0
     with pytest.raises(ValueError, match="Available chunkers"):
-        ChunkerRegistry.get("LLMSemanticChunker")
+        ChunkerRegistry.get("NoSuchChunker")
 
 
 def test_json_array_roundtrip(spark, tmp_path):
