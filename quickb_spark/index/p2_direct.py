@@ -1,0 +1,337 @@
+"""Phase-2 segment encode as file-granular Python tasks (direct pyarrow IO).
+
+Why this exists: the v3 checkpoint is already salted, grouped and sorted, so
+phase 2 is embarrassingly parallel per checkpoint FILE. Routing those ~56M
+per-posting rows through Spark's Python-UDF Arrow channel (scan -> JVM
+ArrowWriter -> socket -> worker) was measured to cost ~20-30s per million
+documents in THIS sandbox *regardless of core count* — the channel, not the
+encode kernel, was the scaling ceiling of the whole build (bench notes in
+BENCH/BASELINE.md). A pure-JVM scan of the same files takes ~2s and the
+pure-Python encode scales like the multiprocessing hardware control, so the
+fix is to keep both sides and drop the hop in between:
+
+  driver lists checkpoint files -> one Spark TASK per file (biggest first)
+  -> each task opens ITS file with pyarrow (native columnar decode, `term`
+  read dictionary-encoded so per-posting strings are never materialized),
+  slices posting-list groups as zero-copy NumPy views, runs the varbyte
+  encoder, and writes the segment parquet for that file directly — only a
+  one-row summary ever crosses the Python<->JVM boundary.
+
+Scale notes (the 100 TB story):
+- work units are whole checkpoint files (64-128MB on a real cluster, a few
+  MB here — `IndexConfig.subgroup_target_postings` sizes them), so tasks
+  stay uniform and the biggest-first ordering kills end-of-wave stragglers;
+- a (term, salt) group lives entirely inside one file (the phase-1
+  partition key is a pure function of (bucket, term, salt)), so no task
+  ever needs another task's rows and output segments are canonical;
+- storage goes through `pyarrow.fs.FileSystem.from_uri`, so file:// and
+  s3:// checkpoints work the same way (object stores are the realistic home
+  of a 10^12-file index; there is no data-locality to lose). Schemes
+  pyarrow cannot open locally (e.g. hdfs:// without libhdfs) raise at
+  listing time and `build_index` falls back to the in-channel encoder;
+- idempotency: output file names are a pure function of input file names,
+  and `build_index` deletes the segment dirs of UNCOMMITTED buckets before
+  each wave, so task retries and crash-resume both converge to the same
+  layout (the per-bucket meta JSON stays the commit marker).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "encode_wave_direct",
+    "list_bucket_files",
+    "pyarrow_fs_for",
+    "SUMMARY_SCHEMA",
+]
+
+#: One row per encoded checkpoint file — the only data that crosses the
+#: Python->JVM boundary in the direct phase-2 path.
+SUMMARY_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("src_file", StringType()),
+        StructField("n_groups", LongType()),
+        StructField("n_postings", LongType()),
+        StructField("max_salt", IntegerType()),
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+_CHECKPOINT_COLS = ["term", "salt", "doc_id", "tf", "doc_len", "pos_vb"]
+
+
+def pyarrow_fs_for(uri: str):
+    """-> (pyarrow FileSystem, path-without-scheme) for a path or URI.
+
+    Accepts plain paths, file:/p, file:///p, s3://..., hdfs://... — the
+    Hadoop-FS side (quickb_spark.fs.IndexFS) and this must agree on what a
+    path means; both treat scheme-less as the local filesystem."""
+    from pyarrow import fs as pafs
+
+    if "://" not in uri and not uri.startswith("file:"):
+        return pafs.LocalFileSystem(), uri
+    if uri.startswith("file:"):
+        # normalize file:/p and file:///p to a local path
+        path = uri[len("file:") :]
+        while path.startswith("//"):
+            path = path[1:]
+        return pafs.LocalFileSystem(), path
+    fsys, path = pafs.FileSystem.from_uri(uri)
+    return fsys, path
+
+
+def list_bucket_files(flat_dir: str, buckets: list[int]) -> list[tuple[int, str, int]]:
+    """[(bucket, file-path, bytes)] for the given buckets' checkpoint dirs,
+    listed with pyarrow (same FS the encode tasks will read through)."""
+    from pyarrow import fs as pafs
+
+    fsys, root = pyarrow_fs_for(flat_dir)
+    out: list[tuple[int, str, int]] = []
+    for b in buckets:
+        sel = pafs.FileSelector(
+            f"{root.rstrip('/')}/bucket={b}", recursive=True, allow_not_found=True
+        )
+        for info in fsys.get_file_info(sel):
+            if info.type == pafs.FileType.File and info.base_name.endswith(
+                ".parquet"
+            ):
+                out.append((b, info.path, int(info.size or 0)))
+    return out
+
+
+def _encode_one_file(
+    fsys, ofs, src_path: str, bucket: int, seg_root: str, block_size: int,
+    store_positions: bool,
+) -> dict:
+    """Read one sorted checkpoint file, encode every (term, salt) group,
+    write the segment parquet next to its siblings. Pure pyarrow/NumPy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = _CHECKPOINT_COLS if store_positions else _CHECKPOINT_COLS[:-1]
+    with fsys.open_input_file(src_path) as f:
+        tbl = pq.read_table(f, columns=cols, read_dictionary=["term"])
+
+    n = tbl.num_rows
+    term_col = tbl.column("term").combine_chunks()
+    if isinstance(term_col, pa.ChunkedArray):  # 0-chunk edge
+        term_col = (
+            term_col.chunk(0)
+            if term_col.num_chunks
+            else pa.array([], type=term_col.type)
+        )
+    if not pa.types.is_dictionary(term_col.type):
+        term_col = term_col.dictionary_encode()
+    idx = term_col.indices.to_numpy(zero_copy_only=False)
+    dictionary = term_col.dictionary
+    salt = tbl.column("salt").to_numpy(zero_copy_only=False)
+    doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    tf = tbl.column("tf").to_numpy(zero_copy_only=False)
+    doc_len = tbl.column("doc_len").to_numpy(zero_copy_only=False)
+    if store_positions:
+        # zero-copy slicing of the flat values buffer via the offsets buffer:
+        # rows are doc_id-sorted within each group (v3 checkpoint invariant),
+        # so a group's pos stream is ONE contiguous slice. large_binary cast
+        # gives int64 offsets (safe past 2GB of per-file position data).
+        pos_col = tbl.column("pos_vb").combine_chunks().cast(pa.large_binary())
+        if pos_col.offset != 0:  # defensive: realign a sliced array
+            pos_col = pa.concat_arrays([pos_col])
+        pos_off = np.frombuffer(pos_col.buffers()[1], dtype=np.int64)[: n + 1]
+        pos_buf = pos_col.buffers()[2]
+        pos_bytes = (
+            memoryview(pos_buf)[: pos_off[-1]] if n else memoryview(b"")
+        )
+
+    # ---- fully vectorized whole-file encode ------------------------------
+    # The file holds ~1e3-1e4 posting-list groups of ~1e2 postings each;
+    # calling the per-group encoder (index/encode.py) costs ~0.7ms of NumPy
+    # fixed overhead PER GROUP — more than the actual byte work. Instead,
+    # every stream is encoded in ONE pass over the whole file (absolute-gap
+    # resets at block starts make groups independent by construction) and
+    # per-group slices are materialized as zero-copy Arrow binary arrays
+    # over the shared buffer. Byte-identical to encode_posting_list
+    # (asserted in tests/test_p2_direct.py).
+    from quickb_spark.index.encode import to_u64, varbyte_encode, varbyte_lengths
+
+    if n:
+        change = np.flatnonzero((idx[1:] != idx[:-1]) | (salt[1:] != salt[:-1])) + 1
+        starts = np.concatenate(([0], change)).astype(np.int64)
+        ends = np.concatenate((change, [n])).astype(np.int64)
+    else:
+        starts = ends = np.empty(0, dtype=np.int64)
+    n_groups = len(starts)
+    sizes = ends - starts
+    pos_in_group = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    if n and not (
+        (np.diff(doc_id) > 0) | (pos_in_group[1:] == 0)
+    ).all():
+        raise ValueError(
+            f"checkpoint group not strictly doc_id-sorted in {src_path} — "
+            "file predates the v3 invariant or was rewritten outside "
+            "build_index; rebuild the flat checkpoint"
+        )
+
+    # global block starts: every block_size-th row WITHIN its group
+    bmask = (pos_in_group % block_size) == 0
+    bstarts = np.flatnonzero(bmask)
+    bends = np.concatenate((bstarts[1:], [n])) if n else bstarts
+    nblocks = (sizes + block_size - 1) // block_size
+    gb_off = np.concatenate(([0], np.cumsum(nblocks)))
+
+    u = to_u64(doc_id)
+    gaps = np.empty_like(u)
+    if n:
+        gaps[0] = u[0]
+        np.subtract(u[1:], u[:-1], out=gaps[1:])
+        gaps[bmask] = u[bmask]  # absolute reset at every block start
+    tf_u = tf.astype(np.uint64)
+    dl_u = doc_len.astype(np.uint64)
+
+    def _stream(vals_u):
+        """(data bytes, group offsets[n_groups+1], per-block byte offsets
+        relative to each group's stream start)."""
+        data = varbyte_encode(vals_u)
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(varbyte_lengths(vals_u), out=cum[1:])
+        goff = cum[np.append(starts, n)]
+        boff = cum[bstarts] - np.repeat(goff[:-1], nblocks)
+        return data, goff, boff
+
+    doc_data, doc_goff, doc_boff = _stream(gaps)
+    tf_data, tf_goff, tf_boff = _stream(tf_u)
+    dl_data, dl_goff, dl_boff = _stream(dl_u)
+
+    def _bin_array(data, goff):
+        if goff[-1] <= np.iinfo(np.int32).max:
+            return pa.Array.from_buffers(
+                pa.binary(), n_groups,
+                [None, pa.py_buffer(goff.astype(np.int32).tobytes()),
+                 pa.py_buffer(data)],
+            )
+        return pa.Array.from_buffers(
+            pa.large_binary(), n_groups,
+            [None, pa.py_buffer(goff.astype(np.int64).tobytes()),
+             pa.py_buffer(data)],
+        ).cast(pa.binary())
+
+    def _list_array(values):
+        return pa.ListArray.from_arrays(
+            pa.array(gb_off, type=pa.int32()),
+            pa.array(values, type=pa.int64()),
+        )
+
+    if store_positions and n:
+        pos_goff = pos_off[np.append(starts, n)]
+        pos_arr = _bin_array(
+            bytes(pos_bytes), pos_goff - pos_goff[0]
+        ) if pos_goff[0] else _bin_array(bytes(pos_bytes), pos_goff)
+    else:
+        pos_arr = _bin_array(b"", np.zeros(n_groups + 1, dtype=np.int64))
+
+    terms_arr = term_col.take(pa.array(starts, type=pa.int64())).cast(pa.string())
+    out_tbl = pa.table(
+        {
+            "term": terms_arr,
+            "salt": pa.array(salt[starts].astype(np.int32), type=pa.int32()),
+            "df_part": pa.array(sizes, type=pa.int64()),
+            "cf_part": pa.array(
+                np.add.reduceat(tf.astype(np.int64), starts) if n
+                else np.empty(0, dtype=np.int64),
+                type=pa.int64(),
+            ),
+            "doc_stream": _bin_array(doc_data, doc_goff),
+            "tf_stream": _bin_array(tf_data, tf_goff),
+            "dl_stream": _bin_array(dl_data, dl_goff),
+            "pos_stream": pos_arr,
+            "block_last_doc": _list_array(
+                doc_id[bends - 1] if n else np.empty(0, dtype=np.int64)
+            ),
+            "block_max_tf": _list_array(
+                np.maximum.reduceat(tf.astype(np.int64), bstarts) if n
+                else np.empty(0, dtype=np.int64)
+            ),
+            "block_min_dl": _list_array(
+                np.minimum.reduceat(doc_len.astype(np.int64), bstarts) if n
+                else np.empty(0, dtype=np.int64)
+            ),
+            "block_doc_off": _list_array(doc_boff),
+            "block_tf_off": _list_array(tf_boff),
+            "block_dl_off": _list_array(dl_boff),
+        }
+    )
+    n_postings = int(n)
+    base = os.path.basename(src_path)
+    dest_dir = f"{seg_root.rstrip('/')}/bucket={bucket}"
+    ofs.create_dir(dest_dir, recursive=True)
+    dest = f"{dest_dir}/{base}"
+    with ofs.open_output_stream(dest) as out:
+        pq.write_table(out_tbl, out, compression="snappy")
+    sz = ofs.get_file_info(dest).size or 0
+    return {
+        "bucket": bucket,
+        "src_file": base,
+        "n_groups": int(n_groups),
+        "n_postings": n_postings,
+        "max_salt": int(salt.max()) if n else 0,
+        "out_bytes": int(sz),
+    }
+
+
+def _encode_files_udf(flat_dir: str, seg_dir: str, block_size: int,
+                      store_positions: bool):
+    def run(batches):
+        fsys = ofs = seg_root = None
+        for pdf in batches:
+            for bucket, path in zip(pdf["bucket"], pdf["path"]):
+                if fsys is None:
+                    fsys, _ = pyarrow_fs_for(flat_dir)
+                    ofs, seg_root = pyarrow_fs_for(seg_dir)
+                yield pd.DataFrame(
+                    [
+                        _encode_one_file(
+                            fsys, ofs, path, int(bucket), seg_root,
+                            block_size, store_positions,
+                        )
+                    ]
+                )
+
+    return run
+
+
+def encode_wave_direct(
+    spark: SparkSession,
+    flat_dir: str,
+    seg_dir: str,
+    buckets: list[int],
+    block_size: int,
+    store_positions: bool,
+) -> list:
+    """Encode the given buckets' checkpoint files, one Spark task per file,
+    biggest files first (no end-of-wave straggler). Returns the collected
+    per-file summary rows. Raises if the checkpoint FS scheme is unusable
+    from Python (caller falls back to the in-channel encoder)."""
+    files = list_bucket_files(flat_dir, buckets)
+    if not files:
+        return []
+    files.sort(key=lambda t: -t[2])
+    rows = [(b, p) for b, p, _ in files]
+    rdd = spark.sparkContext.parallelize(rows, numSlices=len(rows))
+    df: DataFrame = spark.createDataFrame(rdd, "bucket int, path string")
+    out = df.mapInPandas(
+        _encode_files_udf(flat_dir, seg_dir, block_size, store_positions),
+        SUMMARY_SCHEMA,
+    )
+    return out.collect()

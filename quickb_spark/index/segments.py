@@ -54,7 +54,9 @@ identity partitioning on `bucket` without touching the logic):
   <index_dir>/segments/bucket=<b>/...      encoded posting lists
   <index_dir>/lexicon/bucket=<b>/...       (term, df) global-df lexicon
   <index_dir>/meta/hot_terms.json          pre-sampled hot-term set
-  <index_dir>/meta/bucket_<b>.json         per-partition lineage + metrics
+  <index_dir>/meta/commits.json            per-partition lineage + metrics
+                                           ledger (one atomic file; one
+                                           entry per bucket)
   <index_dir>/meta/stats.json              corpus scalars, config, format_version
   <index_dir>/doc_stats/...                (doc_id, doc_len) parquet
 """
@@ -89,7 +91,15 @@ from quickb_spark.index.flatten import (
     flat_postings_from_documents,
 )
 
-__all__ = ["build_index", "segments_meta", "load_stats", "SEGMENT_SCHEMA"]
+__all__ = [
+    "build_index",
+    "segments_meta",
+    "load_stats",
+    "load_commits",
+    "save_commits",
+    "invalidate_buckets",
+    "SEGMENT_SCHEMA",
+]
 
 SEGMENT_SCHEMA = StructType(
     [
@@ -278,8 +288,48 @@ def _partition_encoder(cfg: EngineConfig):
     return encode_partition
 
 
-def _meta_path(index_dir: str, bucket: int) -> str:
-    return join_path(index_dir, "meta", f"bucket_{bucket:05d}.json")
+def _commits_path(index_dir: str) -> str:
+    return join_path(index_dir, "meta", "commits.json")
+
+
+def load_commits(fs: IndexFS, index_dir: str) -> dict[int, dict]:
+    """bucket -> committed meta, from the single per-index commit ledger.
+
+    One atomic JSON file instead of one file per bucket: metas for a wave
+    are only ever written together AFTER the wave's data has fully landed,
+    so per-bucket files added no recovery granularity — they only added
+    O(buckets) driver<->FS round-trips per wave (measured ~3s per wave of
+    64 on this sandbox's py4j path, and worse on object stores)."""
+    p = _commits_path(index_dir)
+    if not fs.exists(p):
+        return {}
+    try:
+        raw = json.loads(fs.read_text(p))
+    except ValueError:
+        # torn write (non-atomic FS): data for those buckets has landed but
+        # is uncommitted -> treat all as pending; the rebuild is idempotent
+        return {}
+    return {int(k): v for k, v in raw.items()}
+
+
+def save_commits(fs: IndexFS, index_dir: str, commits: dict[int, dict]) -> None:
+    fs.write_text_atomic(
+        _commits_path(index_dir),
+        json.dumps({str(k): v for k, v in sorted(commits.items())}),
+    )
+
+
+def invalidate_buckets(fs: IndexFS, index_dir: str, buckets: list[int]) -> None:
+    """Drop buckets from the commit ledger so the next build_index call
+    re-encodes them (used by the streaming delta fold)."""
+    commits = load_commits(fs, index_dir)
+    changed = False
+    for b in buckets:
+        if b in commits:
+            del commits[b]
+            changed = True
+    if changed:
+        save_commits(fs, index_dir, commits)
 
 
 def _parse_bytes_conf(v: str) -> int:
@@ -432,10 +482,18 @@ def build_index(
         )
     if not fs.exists(stats_path):
         # doc-level stats via the `first` marker: a narrow filtered scan of
-        # the checkpoint — no distinct-shuffle over all postings
-        flat_all.filter(F.col("first") == 1).select("doc_id", "doc_len").write.mode(
-            "overwrite"
-        ).parquet(join_path(index_dir, "doc_stats"))
+        # the checkpoint — no distinct-shuffle over all postings. Small scan
+        # bins: at default 128MB bins this scan gets fewer tasks than cores
+        # and serializes a (fixed, per-build) cost the wide level feels 4x
+        # harder than the narrow one.
+        prev_mpb1 = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        try:
+            flat_all.filter(F.col("first") == 1).select(
+                "doc_id", "doc_len"
+            ).write.mode("overwrite").parquet(join_path(index_dir, "doc_stats"))
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb1)
         if p1_metrics is not None:
             n_docs = p1_metrics["n_docs"]
             avgdl = p1_metrics["sum_dl"] / n_docs if n_docs else 0.0
@@ -467,48 +525,55 @@ def build_index(
     _mark("phase1b stats")
 
     # ---- phase 2: per-bucket-wave encode, idempotent, resumable ----------
-    # The checkpoint is already salted, grouped and sorted, so the default
-    # path is scan -> encode -> write: ZERO shuffles. Scan partition sizing
-    # is the whole game for a CPU-bound Python encode: the bin size is set
-    # to ~2x the MEDIAN checkpoint file so each (uniform, subgroup-sized)
-    # file becomes one balanced encode task. Outlier files above the bin
-    # get byte-range split — harmless: parquet row groups are atomic, so a
-    # split merely yields an extra partial segment row per straddled group,
-    # and the query path merges partials exactly like salted sub-lists
-    # (packing everything into biggest-file-sized bins instead was measured
-    # 35% slower: few fat uneven tasks). QKB_P2_SHUFFLE=1 forces the
-    # explicit repartition+sort path (A/B and belt-and-suspenders).
-    pending = [b for b in range(nb) if not fs.exists(_meta_path(index_dir, b))]
-    encoder = _partition_encoder(cfg)
+    # The checkpoint is already salted, grouped and sorted, so phase 2 is
+    # embarrassingly parallel per checkpoint FILE. Default mode is the
+    # DIRECT path (index/p2_direct.py): one Spark task per file, pyarrow
+    # read -> NumPy encode -> pyarrow write, nothing but a summary row on
+    # the Python<->JVM channel (the channel was the measured scaling
+    # ceiling of the whole build — see p2_direct's module docstring).
+    # QKB_P2_CHANNEL=1 forces the in-channel mapInPandas encoder (also the
+    # automatic fallback when the checkpoint's FS scheme isn't reachable
+    # from Python, e.g. hdfs:// without libhdfs); QKB_P2_SHUFFLE=1 forces
+    # the explicit repartition+sort channel path (A/B control).
+    commits = load_commits(fs, index_dir)
+    pending = [b for b in range(nb) if b not in commits]
     segments_dir = join_path(index_dir, "segments")
     force_shuffle = os.environ.get("QKB_P2_SHUFFLE") == "1"
+    force_channel = os.environ.get("QKB_P2_CHANNEL") == "1"
+    mode = "shuffle" if force_shuffle else (
+        "channel" if force_channel else "direct"
+    )
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     prev_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
-    if pending and not force_shuffle:
+    if pending and mode != "direct":
+        # channel modes: scan partition sizing is the whole game for a
+        # CPU-bound Python encode — bin ~2x the MEDIAN checkpoint file so
+        # each (uniform, subgroup-sized) file becomes one balanced task;
+        # openCost >= bin/2 stops tiny-file packing from merging more than
+        # ~2 files per task. Outlier files above the bin get byte-range
+        # split — harmless: a split merely yields an extra partial segment
+        # row per straddled group, and the query path merges partials
+        # exactly like salted sub-lists.
         sizes = sorted(fs.file_sizes(flat_dir))
         p50 = sizes[len(sizes) // 2] if sizes else 0
         bin_bytes = max(4 << 20, 2 * p50)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(bin_bytes))
-        # openCost >= bin/2 stops tiny-file packing from merging more than
-        # ~2 files per task (task balance beats listing cost here)
         spark.conf.set("spark.sql.files.openCostInBytes", str(bin_bytes // 2))
     try:
         _run_waves(
-            spark, fs, index_dir, flat_all, encoder, segments_dir, pending,
-            wave_size, g, nb, force_shuffle, _mark,
+            spark, fs, index_dir, flat_all, segments_dir, pending,
+            wave_size, g, nb, mode, cfg, commits, _mark,
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
 
-    # ---- phase 3: term -> global df lexicon (tiny; serve-time fixed-cost
-    # killer). One row per distinct term, partitioned by bucket so a query
-    # batch reads only its buckets' slivers; the Searcher caches lookups so
-    # repeated terms never touch storage again. Rewritten whenever any
-    # bucket was (re-)encoded — cost is one scan of the SEGMENT rows
-    # (compressed metadata, not postings).
+    # ---- phase 3 (fallback only): the per-bucket (term, global-df) lexicon
+    # is normally written INSIDE each wave from the same scan as the lineage
+    # metrics; this fallback covers an already-committed index whose lexicon
+    # dir is missing (e.g. built by an older layout).
     lex_dir = join_path(index_dir, "lexicon")
-    if pending or not fs.exists(join_path(lex_dir, "_SUCCESS")):
+    if not pending and not fs.exists(lex_dir):
         (
             spark.read.parquet(segments_dir)
             .groupBy("bucket", "term")
@@ -518,43 +583,103 @@ def build_index(
             .partitionBy("bucket")
             .parquet(lex_dir)
         )
-        _mark("phase3 lexicon")
+        _mark("phase3 lexicon fallback")
+
+
+def _encode_wave_channel(
+    spark, flat_all, segments_dir, wave, g, nb, cfg, shuffle: bool
+) -> None:
+    """In-channel mapInPandas encoder (fallback / A/B path): scan ->
+    Arrow channel -> partition encoder -> Spark parquet write with dynamic
+    partition overwrite (only this wave's bucket dirs are replaced)."""
+    wave_flat = flat_all.filter(F.col("bucket").isin(wave))
+    if shuffle:
+        wave_flat = wave_flat.repartition(
+            len(wave) * g,
+            F.col("bucket"),
+            F.pmod(F.xxhash64("term", "salt"), F.lit(g)),
+        ).sortWithinPartitions("term", "salt", "doc_id")
+    seg = (
+        wave_flat.select("term", "salt", "doc_id", "tf", "doc_len", "pos_vb")
+        .mapInPandas(_partition_encoder(cfg), SEGMENT_SCHEMA)
+        .withColumn("bucket", _bucket_col(F.col("term"), nb))
+    )
+    (
+        seg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(segments_dir)
+    )
 
 
 def _run_waves(
-    spark, fs, index_dir, flat_all, encoder, segments_dir, pending,
-    wave_size, g, nb, force_shuffle, _mark,
+    spark, fs, index_dir, flat_all, segments_dir, pending,
+    wave_size, g, nb, mode, cfg, commits, _mark,
 ):
+    flat_dir = join_path(index_dir, "flat")
     for wave_start in range(0, len(pending), wave_size):
         wave = pending[wave_start : wave_start + wave_size]
         t0 = time.perf_counter()
-        wave_flat = flat_all.filter(F.col("bucket").isin(wave))
-        if force_shuffle:
-            wave_flat = wave_flat.repartition(
-                len(wave) * g,
-                F.col("bucket"),
-                F.pmod(F.xxhash64("term", "salt"), F.lit(g)),
-            ).sortWithinPartitions("term", "salt", "doc_id")
-        seg = (
-            wave_flat.select("term", "salt", "doc_id", "tf", "doc_len", "pos_vb")
-            .mapInPandas(encoder, SEGMENT_SCHEMA)
-            .withColumn("bucket", _bucket_col(F.col("term"), nb))
-        )
-        # dynamic partition overwrite: only this wave's bucket dirs are
-        # replaced, finished buckets are untouched -> idempotent re-runs
-        (
-            seg.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(segments_dir)
-        )
+        if mode == "direct":
+            # idempotent resume: wipe UNCOMMITTED bucket dirs before the
+            # direct tasks write into them (the channel path gets the same
+            # effect from dynamic partition overwrite)
+            if fs.exists(segments_dir):
+                existing = {
+                    d for d in fs.listdir(segments_dir) if d.startswith("bucket=")
+                }
+                for b in wave:
+                    if f"bucket={b}" in existing:
+                        fs.delete(join_path(segments_dir, f"bucket={b}"))
+            try:
+                from quickb_spark.index.p2_direct import encode_wave_direct
+
+                encode_wave_direct(
+                    spark, flat_dir, segments_dir, wave,
+                    cfg.index.block_size, cfg.index.store_positions,
+                )
+            except Exception as e:  # e.g. FS scheme unreachable from Python
+                print(
+                    f"[build_index] direct phase-2 unavailable ({e!r}) — "
+                    "falling back to the in-channel encoder",
+                    flush=True,
+                )
+                sizes = sorted(fs.file_sizes(flat_dir))
+                p50 = sizes[len(sizes) // 2] if sizes else 0
+                bin_bytes = max(4 << 20, 2 * p50)
+                spark.conf.set("spark.sql.files.maxPartitionBytes", str(bin_bytes))
+                spark.conf.set("spark.sql.files.openCostInBytes", str(bin_bytes // 2))
+                _encode_wave_channel(
+                    spark, flat_all, segments_dir, wave, g, nb, cfg, False
+                )
+        else:
+            _encode_wave_channel(
+                spark, flat_all, segments_dir, wave, g, nb, cfg,
+                mode == "shuffle",
+            )
         _mark(f"phase2 encode wave {wave[0]}-{wave[-1]}")
-        # lineage metrics from the landed (small, compressed) segment rows —
-        # cheaper and more truthful than a postings-wide pre-pass
-        wave_rows = (
+        # ONE column-pruned scan of the landed (small, compressed) segment
+        # rows powers BOTH the per-bucket lexicon (the serve-time fixed-cost
+        # killer used by query.searcher.Searcher) and the lineage metrics —
+        # exact, and cheaper/more truthful than a postings-wide pre-pass.
+        # Dynamic partition overwrite keeps other waves' lexicon buckets.
+        seg_w = (
             spark.read.parquet(segments_dir)
             .filter(F.col("bucket").isin(wave))
-            .groupBy("bucket")
+            .select("bucket", "term", "salt", "df_part")
+            .persist()
+        )
+        lex_w = seg_w.groupBy("bucket", "term").agg(F.sum("df_part").alias("df"))
+        cores = spark.sparkContext.defaultParallelism
+        (
+            lex_w.repartition(max(1, min(len(wave), cores)), "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(join_path(index_dir, "lexicon"))
+        )
+        wave_rows = (
+            seg_w.groupBy("bucket")
             .agg(
                 F.countDistinct("term").alias("terms"),
                 F.sum("df_part").alias("postings"),
@@ -562,12 +687,12 @@ def _run_waves(
             )
             .collect()
         )
+        seg_w.unpersist()
         wave_stats = {int(r["bucket"]): r for r in wave_rows}
         build_ms = int((time.perf_counter() - t0) * 1000 / max(len(wave), 1))
-
-        def _commit(b: int) -> None:
+        for b in wave:
             r = wave_stats.get(b)
-            meta = {
+            commits[b] = {
                 "segment_id": f"seg-{b:05d}",
                 "partition_id": b,
                 "salt": int(r["max_salt"]) if r is not None else 0,
@@ -579,27 +704,17 @@ def _run_waves(
                 "status": "done",
                 "committed_at": time.time(),
             }
-            fs.write_text_atomic(_meta_path(index_dir, b), json.dumps(meta))
-
-        # driver-side FS round-trips are latency-bound, not CPU-bound —
-        # commit the wave's metas concurrently (py4j opens one gateway
-        # connection per thread; each meta write stays individually atomic,
-        # so resume semantics are unchanged)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(16, len(wave))) as pool:
-            list(pool.map(_commit, wave))
+        # ONE atomic ledger write commits the whole wave (data landed above;
+        # a crash before this line just re-encodes the wave — identical to
+        # the per-bucket-file protocol, minus 64 FS round-trips)
+        save_commits(fs, index_dir, commits)
         _mark("phase2 meta commits")
 
 
 def segments_meta(spark: SparkSession, index_dir: str) -> DataFrame:
     """Per-partition lineage + metrics as a DataFrame (FIXTURES.md §6)."""
     fs = IndexFS(index_dir, spark)
-    rows = []
-    meta_dir = join_path(index_dir, "meta")
-    for name in fs.listdir(meta_dir):
-        if name.startswith("bucket_") and name.endswith(".json"):
-            rows.append(json.loads(fs.read_text(join_path(meta_dir, name))))
+    rows = [m for _, m in sorted(load_commits(fs, index_dir).items())]
     schema = (
         "segment_id string, partition_id int, salt int, term_count long, "
         "posting_count long, input_rows long, build_time_ms long, "

@@ -33,7 +33,7 @@ from pyspark.sql.streaming import StreamingQuery
 from quickb_spark.config import BM25_B, BM25_K1, EngineConfig
 from quickb_spark.fs import IndexFS, join_path
 from quickb_spark.index.flatten import flat_postings_from_documents
-from quickb_spark.index.segments import _bucket_col, _meta_path, load_stats
+from quickb_spark.index.segments import _bucket_col, invalidate_buckets, load_stats
 
 __all__ = [
     "start_incremental_ingest",
@@ -193,9 +193,7 @@ def _finish_fold(fs: IndexFS, index_dir: str, touched: list[int]) -> None:
     stats_path = join_path(index_dir, "meta", "stats.json")
     if fs.exists(stats_path):
         fs.delete(stats_path, recursive=False)
-    for b in touched:
-        if fs.exists(_meta_path(index_dir, b)):
-            fs.delete(_meta_path(index_dir, b), recursive=False)
+    invalidate_buckets(fs, index_dir, touched)
     fs.delete(stage_dir)
 
 

@@ -13,7 +13,13 @@ import pytest
 from quickb_spark.config import EngineConfig, IndexConfig
 from quickb_spark.corpus import fixture_queries, generate_documents_df
 from quickb_spark.fs import IndexFS, join_path
-from quickb_spark.index.segments import build_index, load_stats, segments_meta
+from quickb_spark.index.segments import (
+    build_index,
+    invalidate_buckets,
+    load_commits,
+    load_stats,
+    segments_meta,
+)
 from quickb_spark.query.wand import bm25_topk_segments
 
 CFG = EngineConfig(
@@ -52,25 +58,17 @@ def test_build_resume_query_with_scheme_uri(spark, tmp_path):
     stats = load_stats(idx)
     assert stats["n_docs"] > 0
 
-    # resume: drop one bucket's meta, rebuild — only that bucket recommits
+    # resume: drop one bucket from the commit ledger, rebuild — only that
+    # bucket recommits
     fs = IndexFS(idx, spark)
-    victim = join_path(idx, "meta", "bucket_00003.json")
-    before = {
-        n: fs.read_text(join_path(idx, "meta", n))
-        for n in fs.listdir(join_path(idx, "meta"))
-        if n.startswith("bucket_")
-    }
-    fs.delete(victim, recursive=False)
+    before = load_commits(fs, idx)
+    invalidate_buckets(fs, idx, [3])
     build_index(spark, index_dir=idx, cfg=CFG, documents=docs)
-    after = {
-        n: fs.read_text(join_path(idx, "meta", n))
-        for n in fs.listdir(join_path(idx, "meta"))
-        if n.startswith("bucket_")
-    }
+    after = load_commits(fs, idx)
     assert set(after) == set(before)
-    unchanged = [n for n in before if n != "bucket_00003.json"]
-    for n in unchanged:
-        assert after[n] == before[n], n
+    for b in before:
+        if b != 3:
+            assert after[b] == before[b], b
 
     meta = segments_meta(spark, idx)
     assert meta.count() == CFG.index.term_buckets

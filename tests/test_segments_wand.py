@@ -15,9 +15,12 @@ from quickb_spark.chunking import chunk_documents
 from quickb_spark.config import EngineConfig, IndexConfig
 from quickb_spark.corpus import fixture_queries, generate_documents_df
 from quickb_spark.index.encode import decode_posting_list
+from quickb_spark.fs import IndexFS
 from quickb_spark.index.segments import (
     build_index,
     flat_postings_with_dl,
+    invalidate_buckets,
+    load_commits,
     load_stats,
     segments_meta,
 )
@@ -202,24 +205,21 @@ def test_resume_skips_done_buckets(spark, chunks, tmp_path):
     idx = str(tmp_path / "resume_idx")
     cfg = CFG
     build_index(spark, chunks, idx, cfg, wave_size=4)
-    metas_before = {}
-    for b in range(cfg.index.term_buckets):
-        p = os.path.join(idx, "meta", f"bucket_{b:05d}.json")
-        with open(p) as f:
-            metas_before[b] = json.load(f)
+    fs = IndexFS(idx, spark)
+    metas_before = load_commits(fs, idx)
+    assert set(metas_before) == set(range(cfg.index.term_buckets))
 
-    # simulate a crash: remove meta (and data) for 3 buckets, keep the rest
+    # simulate a crash: uncommit 3 buckets (and drop their data), keep rest
     killed = [2, 5, 11]
+    invalidate_buckets(fs, idx, killed)
     for b in killed:
-        os.remove(os.path.join(idx, "meta", f"bucket_{b:05d}.json"))
         shutil.rmtree(os.path.join(idx, "segments", f"bucket={b}"), ignore_errors=True)
 
     build_index(spark, chunks, idx, cfg, wave_size=4)  # resume
 
+    metas_after = load_commits(fs, idx)
     for b in range(cfg.index.term_buckets):
-        p = os.path.join(idx, "meta", f"bucket_{b:05d}.json")
-        with open(p) as f:
-            meta = json.load(f)
+        meta = metas_after[b]
         if b in killed:
             assert meta["committed_at"] > metas_before[b]["committed_at"]
         else:
