@@ -122,11 +122,10 @@ class Searcher:
             r_count = _auto_ranges(sum(dfs[t] for t in live))
         else:
             r_count = int(ranges)
-        qt = self.spark.createDataFrame(qt_pairs, "query_id string, term string")
-        df_map = self.spark.createDataFrame(
-            [(t, dfs[t]) for t in live], "term string, df_total long"
-        )
+        live_set = set(live)
         return _score_segments(
-            self.spark, seg, qt, df_map, self.stats, k, self.k1, self.b,
+            self.spark, seg,
+            [(q, t) for q, t in qt_pairs if t in live_set],
+            {t: dfs[t] for t in live}, self.stats, k, self.k1, self.b,
             strategy, r_count,
         )

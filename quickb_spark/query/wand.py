@@ -2,22 +2,25 @@
 
 Query plan (SURVEY.md §2.11):
 
-  queries ─► tokenize ─► distinct terms (tiny, ONE driver round-trip for
-  term+bucket pruning literals) ─► segment scan PRUNED to those bucket
-  partitions + term filter (pushed to parquet) ─► broadcast-join the
-  (query_id, term) map and the global per-term df ─► SLICE each matched
-  row's streams into docID ranges JVM-side (substring on the per-block
-  byte offsets; the per-block absolute delta reset makes any block-aligned
-  slice independently decodable) ─► groupBy(query_id, range_id)
-  .applyInPandas scorer ─► exact top-k merge (window over R·k rows).
+  queries ─► tokenize ─► distinct terms (tiny, ONE driver round-trip that
+  also yields the scorer's query->terms closure and the term+bucket
+  pruning literals) ─► segment scan PRUNED to those bucket partitions +
+  term filter (pushed to parquet) ─► SLICE each matched row's streams into
+  docID ranges JVM-side (substring on the per-block byte offsets; the
+  per-block absolute delta reset makes any block-aligned slice
+  independently decodable) ─► groupBy(range_id).applyInPandas batch
+  scorer (query map + global dfs in the closure) ─► exact top-k merge
+  (window over Q·R·k rows).
 
 Parallel serving: docIDs are xxhash64 outputs, uniform over int64, so R
-equal int64 intervals split every posting list ~evenly. Each (query, range)
-task decodes ONLY its slice — a hot-term query no longer funnels its whole
+equal int64 intervals split every posting list ~evenly. Each range task
+decodes ONLY its slices — a hot-term query no longer funnels its whole
 posting list through one Python task (the round-1 serving bottleneck), and
-per-task memory is bounded by candidate_postings/R. Ranges partition the
-doc space, so per-range top-k lists merge exactly (a doc's full score is
-computed in exactly one range).
+per-task memory is bounded by candidate_postings/R. Streams cross the
+Arrow channel once per RANGE, not once per (query, range): a hot term
+shared by the whole batch ships once (the round-2 batch-serving
+bottleneck). Ranges partition the doc space, so per-range top-k lists
+merge exactly (a doc's full score is computed in exactly one range).
 
 The scorer decodes varbyte slices (NumPy), re-merges salted sub-lists per
 term (hot-term salting is a build-time artifact — queries see one logical
@@ -213,14 +216,27 @@ def _range_bounds(r_count: int) -> list[tuple[int, int, int]]:
     return out
 
 
-def _make_scorer(n_docs, avgdl, k, k1, b, strategy, block_size, emit_rank=False):
+def _make_batch_scorer(
+    qt_pairs, dfs, n_docs, avgdl, k, k1, b, strategy, block_size,
+    emit_rank=False,
+):
+    """Per-RANGE scorer for a whole query batch.
+
+    The group holds each candidate term's stream slices ONCE (not once per
+    query): a hot term shared by many queries crosses the Arrow channel a
+    single time per range, and its salt re-merge + block-meta rebuild run
+    once. The (query -> terms) map and global dfs ride in the closure —
+    they are tiny, driver-known, and identical for every range."""
+    terms_by_query: dict[str, list[str]] = {}
+    for qid, t in qt_pairs:
+        terms_by_query.setdefault(qid, []).append(t)
+
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        query_id = key[0]
         lo = int(pdf["lo"].iat[0])
         hi = int(pdf["hi"].iat[0])
-        terms = []
+        structs: dict[str, dict] = {}
         for term, g in pdf.groupby("term", sort=True):
-            df_total = int(g["df_total"].iat[0])  # global df (JVM-joined)
+            df_total = int(dfs[term])
             idf = float(np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5)))
             parts = []
             for r in g.itertuples():
@@ -244,36 +260,45 @@ def _make_scorer(n_docs, avgdl, k, k1, b, strategy, block_size, emit_rank=False)
             order = np.argsort(docs, kind="stable")  # salt re-merge
             docs, tfs, dls = docs[order], tfs[order], dls[order]
             last_doc, max_tf, min_dl = block_meta(docs, tfs, dls, 128)
-            terms.append(
-                {
-                    "docs": docs,
-                    "tfs": tfs,
-                    "dls": dls,
-                    "idf": idf,
-                    "scores": _bm25_vec(tfs, dls, idf, k1, b, avgdl),
-                    "block_last_doc": last_doc,
-                    "block_max_tf": max_tf,
-                    "block_min_dl": min_dl,
-                }
-            )
-        total = sum(len(t["docs"]) for t in terms)
-        if strategy == "wand" or (
-            strategy == "auto" and total > AUTO_EXACT_MAX_POSTINGS
-        ):
-            doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
-        else:
-            doc_ids, scores = _exact_topk(terms, k)
-        out = {
-            "query_id": [query_id] * len(doc_ids),
-            "doc_id": doc_ids,
-            "score": scores,
-        }
+            structs[term] = {
+                "docs": docs,
+                "tfs": tfs,
+                "dls": dls,
+                "idf": idf,
+                "scores": _bm25_vec(tfs, dls, idf, k1, b, avgdl),
+                "block_last_doc": last_doc,
+                "block_max_tf": max_tf,
+                "block_min_dl": min_dl,
+            }
+        out_q: list[str] = []
+        out_d: list[int] = []
+        out_s: list[float] = []
+        out_r: list[int] = []
+        for qid in sorted(terms_by_query):
+            terms = [
+                structs[t] for t in terms_by_query[qid] if t in structs
+            ]
+            if not terms:
+                continue
+            total = sum(len(t["docs"]) for t in terms)
+            if strategy == "wand" or (
+                strategy == "auto" and total > AUTO_EXACT_MAX_POSTINGS
+            ):
+                doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
+            else:
+                doc_ids, scores = _exact_topk(terms, k)
+            out_q.extend([qid] * len(doc_ids))
+            out_d.extend(doc_ids)
+            out_s.extend(scores)
+            if emit_rank:
+                # single-range mode: each query's top-k IS the final answer
+                # (scorer output is already (score desc, doc_id asc)
+                # ordered), so rank is assigned here and the driver-side
+                # window merge is skipped entirely
+                out_r.extend(range(1, len(doc_ids) + 1))
+        out = {"query_id": out_q, "doc_id": out_d, "score": out_s}
         if emit_rank:
-            # single-range mode: this group's top-k IS the final answer
-            # (scorer output is already (score desc, doc_id asc) ordered),
-            # so rank is assigned here and the driver-side window merge is
-            # skipped entirely — one fewer shuffle per query batch
-            out["rank"] = list(range(1, len(doc_ids) + 1))
+            out["rank"] = out_r
         return pd.DataFrame(out)
 
     return scorer
@@ -285,12 +310,10 @@ def _slice_to_ranges(
     """Fan each matched segment row out to the docID ranges it overlaps,
     slicing streams + block metadata JVM-side (substring on the per-block
     byte offsets). Shuffled bytes ≈ each stream byte once, not once per
-    range."""
+    range (and not once per query — the scorer groups by range only)."""
     if r_count <= 1:
         return joined.select(
-            "query_id",
             "term",
-            "df_total",
             F.lit(0).alias("range_id"),
             F.lit(-(2**63)).alias("lo"),
             F.lit(2**63 - 1).alias("hi"),
@@ -335,9 +358,7 @@ def _slice_to_ranges(
         lambda s: s["b_lo"] < s["b_hi"],
     )
     x = joined.select(
-        "query_id",
         "term",
-        "df_total",
         "df_part",
         "doc_stream",
         "tf_stream",
@@ -362,9 +383,7 @@ def _slice_to_ranges(
         - F.col("rs.b_lo").cast("long") * block_size
     )
     return x.select(
-        "query_id",
         "term",
-        "df_total",
         F.col("rs.range_id").alias("range_id"),
         F.col("rs.lo").alias("lo"),
         F.col("rs.hi").alias("hi"),
@@ -441,8 +460,8 @@ def _segment_candidates(
 def _score_segments(
     spark: SparkSession,
     seg: DataFrame,
-    qt: DataFrame,
-    df_map: DataFrame,
+    qt_pairs: list[tuple[str, str]],
+    dfs: dict[str, int],
     stats: dict,
     k: int,
     k1: float,
@@ -450,24 +469,26 @@ def _score_segments(
     strategy: str,
     r_count: int,
 ) -> DataFrame:
-    """Shared scoring core: pruned segment rows ⋈ broadcast (query, term)
-    map ⋈ broadcast global df → JVM-side range slicing → scorer → top-k.
+    """Shared scoring core: pruned segment rows → JVM-side range slicing
+    (per TERM, deduplicated across queries) → per-range batch scorer →
+    top-k. The (query, term) map and global dfs are driver-side values
+    carried in the scorer closure — no join fans segment streams out per
+    query, so a hot term shared by the whole batch ships once per range.
     Used by bm25_topk_segments (self-contained) and Searcher (cached
     stats/lexicon, minimal per-batch jobs)."""
     block_size = int(stats.get("block_size", 128))
-    joined = seg.join(F.broadcast(qt), "term").join(F.broadcast(df_map), "term")
-    sliced = _slice_to_ranges(spark, joined, r_count, block_size)
-    scorer = _make_scorer(
-        stats["n_docs"], stats["avgdl"], k, k1, b, strategy, block_size,
-        emit_rank=(r_count == 1),
+    sliced = _slice_to_ranges(spark, seg, r_count, block_size)
+    scorer = _make_batch_scorer(
+        qt_pairs, dfs, stats["n_docs"], stats["avgdl"], k, k1, b, strategy,
+        block_size, emit_rank=(r_count == 1),
     )
     if r_count == 1:
-        # one range covers the full doc space: each query group's top-k is
-        # final, rank comes from the scorer, no window merge needed
-        return sliced.groupBy("query_id", "range_id").applyInPandas(
+        # one range covers the full doc space: each query's top-k is final,
+        # rank comes from the scorer, no window merge needed
+        return sliced.groupBy("range_id").applyInPandas(
             scorer, "query_id string, doc_id long, score double, rank int"
         ).select("query_id", "rank", "doc_id", "score")
-    scored = sliced.groupBy("query_id", "range_id").applyInPandas(
+    scored = sliced.groupBy("range_id").applyInPandas(
         scorer, "query_id string, doc_id long, score double"
     )
     # exact merge: ranges partition docIDs, so the union of per-range
@@ -514,31 +535,32 @@ def bm25_topk_segments(
     elif use_wand is False:
         strategy = "exact"
     stats = load_stats(index_dir)
-    qt = query_terms(queries)
-    # ONE driver round-trip for both pruning literal sets (term + bucket)
-    tb_rows = (
-        qt.select("term")
-        .distinct()
-        .withColumn("bucket", _bucket_col(F.col("term"), stats["term_buckets"]))
-        .collect()
-    )
-    terms = [r["term"] for r in tb_rows]
-    buckets = sorted({r["bucket"] for r in tb_rows})
+    # ONE driver round-trip for the (query, term) map; term + bucket pruning
+    # literals and the scorer's query->terms closure all derive from it
+    qt_rows = query_terms(queries).collect()
+    qt_pairs = sorted({(r["query_id"], r["term"]) for r in qt_rows})
+    terms = sorted({t for _, t in qt_pairs})
     if not terms:
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score double"
         )
+    from quickb_spark.functions.hashing import bucket_of
+
+    buckets = sorted({bucket_of(t, stats["term_buckets"]) for t in terms})
     seg = (
         spark.read.parquet(f"{index_dir}/segments")
         .filter(F.col("bucket").isin(buckets))  # partition pruning
         .filter(F.col("term").isin(terms))  # row-group pruning on term
     )
+    # ONE driver round-trip for the global per-term dfs (idf + auto ranges)
+    dfs = {
+        r["term"]: int(r["df_total"])
+        for r in seg.groupBy("term").agg(F.sum("df_part").alias("df_total")).collect()
+    }
     if ranges == "auto":
-        total = seg.agg(F.sum("df_part")).collect()[0][0] or 0
-        r_count = _auto_ranges(total)
+        r_count = _auto_ranges(sum(dfs.values()))
     else:
         r_count = int(ranges)
-    df_map = seg.groupBy("term").agg(F.sum("df_part").alias("df_total"))
     return _score_segments(
-        spark, seg, qt, df_map, stats, k, k1, b, strategy, r_count
+        spark, seg, qt_pairs, dfs, stats, k, k1, b, strategy, r_count
     )
