@@ -49,6 +49,13 @@ def run_level(cpus: int, corpus: str, work: str) -> dict:
          str(cpus), corpus, work],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
+    # keep each worker's full output (phase timings under QKB_BUILD_TIMING=1
+    # land here) so per-phase scaling stays auditable after the fact
+    log_dir = os.path.join(REPO, "BENCH", "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    with open(os.path.join(log_dir, f"trial_{stamp}_c{cpus}.log"), "w") as f:
+        f.write(out.stdout[-20000:] + "\n--- stderr ---\n" + out.stderr[-8000:])
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"worker cpus={cpus} failed")
