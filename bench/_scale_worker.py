@@ -28,22 +28,59 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    # Pre-size and pre-touch the driver heap at session startup (which the
-    # protocol excludes from the timed window): letting the heap grow lazily
-    # means the shuffle-heavy phase 1 pays guest page faults — under a
-    # contended virtualized host those are kernel-time storms that hit the
-    # wide level hardest and poison the scaling measurement. Overridable
-    # via QKB_DRIVER_JAVA_OPTS for A/B.
-    java_opts = os.environ.get(
-        "QKB_DRIVER_JAVA_OPTS", "-Xms24g -XX:+AlwaysPreTouch"
-    )
+    # Two masters, same job, same total cores:
+    #   local[N]                one JVM with N task threads (default)
+    #   local-cluster[W,4,...]  QKB_SCALE_CLUSTER=1: W REAL executor JVMs
+    #                           of 4 cores each — separate heaps, GC,
+    #                           netty shuffle servers and Python worker
+    #                           pools, i.e. the honest in-sandbox proxy
+    #                           for the north rule's "N vs 4N EXECUTORS"
+    #                           (local[] makes 4N threads share ONE heap
+    #                           and GC, which no real cluster does).
+    cluster_mode = os.environ.get("QKB_SCALE_CLUSTER") == "1"
+    # Pre-size and pre-touch heaps at session startup (which the protocol
+    # excludes from the timed window): letting a heap grow lazily means the
+    # shuffle-heavy phase 1 pays guest page faults — under a contended
+    # virtualized host those are kernel-time storms that hit the wide level
+    # hardest and poison the scaling measurement. Overridable via
+    # QKB_DRIVER_JAVA_OPTS for A/B.
+    if cluster_mode:
+        workers = max(1, cpus // 4)
+        master = f"local-cluster[{workers},4,14336]"
+        driver_opts = os.environ.get(
+            "QKB_DRIVER_JAVA_OPTS", "-Xms6g -XX:+AlwaysPreTouch"
+        )
+        builder = (
+            SparkSession.builder.master(master)
+            .config("spark.driver.memory", "8g")
+            .config("spark.executor.memory", "12g")
+            .config(
+                "spark.executor.extraJavaOptions",
+                "-Xms12g -XX:+AlwaysPreTouch",
+            )
+            # the timed window must start with all executors registered
+            .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+            .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+            # executor JVMs spawn their own Python workers, which do not
+            # inherit the driver's sys.path — ship the engine package the
+            # way spark-submit --py-files would (same box, so PYTHONPATH
+            # suffices; a real cluster would zip + --py-files the package)
+            .config("spark.executorEnv.PYTHONPATH", _REPO)
+        )
+    else:
+        master = f"local[{cpus}]"
+        driver_opts = os.environ.get(
+            "QKB_DRIVER_JAVA_OPTS", "-Xms24g -XX:+AlwaysPreTouch"
+        )
+        builder = SparkSession.builder.master(master).config(
+            "spark.driver.memory", "48g"
+        )
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(f"quickb-scale-{cpus}")
-        .config("spark.driver.extraJavaOptions", java_opts)
+        .config("spark.driver.extraJavaOptions", driver_opts)
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.local.dir", "/dev/shm/qkb_spark_local")
@@ -146,6 +183,8 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         json.dumps(
             {
                 "cpus": cpus,
+                "master": master,
+                "mode": "cluster" if cluster_mode else "local",
                 "n_files": n_files,
                 "build_sec": round(build_sec, 2),
                 "files_per_sec": round(n_files / build_sec, 1),

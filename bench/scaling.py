@@ -43,11 +43,14 @@ def gen_corpus(path: str, n_docs: int) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, corpus: str, work: str) -> dict:
+def run_level(cpus: int, corpus: str, work: str, cluster: bool = False) -> dict:
+    env = dict(os.environ)
+    if cluster:
+        env["QKB_SCALE_CLUSTER"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench", "_scale_worker.py"),
          str(cpus), corpus, work],
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
     )
     # keep each worker's full output (phase timings under QKB_BUILD_TIMING=1
     # land here) so per-phase scaling stays auditable after the fact
@@ -79,6 +82,14 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     ap.add_argument("--corpus", default=None, help="reuse an existing corpus parquet dir")
     ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help="run each level as REAL executor JVMs (local-cluster[W,4,...] "
+        "with W = cores/4) instead of local[] threads — the honest proxy "
+        "for the north rule's N vs 4N EXECUTORS; trials are tagged "
+        "mode=cluster and pooled separately from local[] trials",
+    )
+    ap.add_argument(
         "--pool",
         default=os.path.join(REPO, "BENCH", "scaling_trials.jsonl"),
         help="append every trial here; the report covers every POOLED PAIR "
@@ -102,7 +113,7 @@ def main() -> None:
         pair_id = f"{session}#{pair}"
         for cpus in (args.n, args.n * 4):
             print(f"pair {pair + 1}/{args.pairs}: level local[{cpus}] ...", flush=True)
-            r = run_level(cpus, corpus, work)
+            r = run_level(cpus, corpus, work, cluster=args.cluster)
             r["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
             r["n_docs"] = args.docs
             r["pair"] = pair_id
@@ -122,7 +133,13 @@ def report_from_pool(args) -> None:
     else:
         pool = _SINGLE_RUN
     # report only trials of the same experiment shape (docs + level pair)
-    pool = [t for t in pool if t.get("n_docs") == args.docs and t["cpus"] in (args.n, args.n * 4)]
+    want_mode = "cluster" if args.cluster else "local"
+    pool = [
+        t for t in pool
+        if t.get("n_docs") == args.docs
+        and t["cpus"] in (args.n, args.n * 4)
+        and t.get("mode", "local") == want_mode
+    ]
     pairs: dict[str, dict[int, dict]] = {}
     for t in pool:
         if t.get("pair"):
@@ -182,6 +199,8 @@ def write_report(args, complete) -> None:
         f.write(
             f"""# BENCH/BASELINE — scaling protocol ({time.strftime('%Y-%m-%d %H:%M:%S')})
 
+Masters: {complete[next(iter(complete))][n].get('master', f'local[{n}]')} (N)
+vs {complete[next(iter(complete))][n4].get('master', f'local[{n4}]')} (4N).
 Same job (full compressed index build: fused chunk+tokenize -> salted
 pre-sorted bucketed checkpoint [the only postings shuffle] -> no-shuffle
 delta+varbyte block-max segment encode; then the 50-query BM25/WAND batch

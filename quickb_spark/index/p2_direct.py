@@ -175,8 +175,13 @@ def _encode_one_file(
     n_groups = len(starts)
     sizes = ends - starts
     pos_in_group = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    # sortedness check by COMPARISON in order-preserving u64 space —
+    # np.diff on raw int64 doc_ids overflows when an adjacent gap exceeds
+    # 2^63 (near-certain for df<=3 posting lists, whose two docs land
+    # anywhere in the int64 range) and would flag a perfectly sorted file
+    u_check = to_u64(doc_id)
     if n and not (
-        (np.diff(doc_id) > 0) | (pos_in_group[1:] == 0)
+        (u_check[1:] > u_check[:-1]) | (pos_in_group[1:] == 0)
     ).all():
         raise ValueError(
             f"checkpoint group not strictly doc_id-sorted in {src_path} — "

@@ -69,6 +69,51 @@ def test_direct_vs_channel_byte_identity(spark, tmp_path):
     assert ra == rb
 
 
+def test_direct_handles_gaps_over_2_63(tmp_path):
+    """Adjacent doc_ids whose gap exceeds 2^63 (routine for df<=3 posting
+    lists — xxhash64 ids are uniform over the whole int64 range) must not
+    trip the sortedness check: np.diff on raw int64 overflows there, the
+    u64-comparison form does not. Streams must stay byte-identical to the
+    per-group encoder."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickb_spark.index.encode import decode_posting_list, encode_posting_list
+    from quickb_spark.index.p2_direct import _encode_one_file, pyarrow_fs_for
+
+    doc_ids = np.array([-(2**62) - 5, 2**62 + 7], dtype=np.int64)  # gap > 2^63
+    tbl = pa.table(
+        {
+            "term": pa.array(["zz", "zz"]),
+            "salt": pa.array([0, 0], type=pa.int32()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "tf": pa.array([2, 1], type=pa.int64()),
+            "doc_len": pa.array([10, 20], type=pa.int64()),
+            "pos_vb": pa.array([b"\x01\x02", b"\x05"], type=pa.binary()),
+        }
+    )
+    src_dir = tmp_path / "flat" / "bucket=0"
+    src_dir.mkdir(parents=True)
+    src = str(src_dir / "part-00000.parquet")
+    pq.write_table(tbl, src)
+    fsys, _ = pyarrow_fs_for(str(tmp_path))
+    out = _encode_one_file(
+        fsys, fsys, src, 0, str(tmp_path / "segments"), 128, True
+    )
+    assert out["n_groups"] == 1 and out["n_postings"] == 2
+    seg = pq.read_table(str(tmp_path / "segments" / "bucket=0" / "part-00000.parquet"))
+    row = seg.to_pylist()[0]
+    ref = encode_posting_list(
+        doc_ids, np.array([2, 1]), np.array([10, 20]),
+        pos_vb=[b"\x01\x02", b"\x05"], block_size=128,
+    )
+    assert row["doc_stream"] == ref["doc_stream"]
+    assert row["pos_stream"] == ref["pos_stream"]
+    d, t = decode_posting_list(row["doc_stream"], row["tf_stream"], 2, block_size=128)
+    assert d.tolist() == doc_ids.tolist()
+
+
 def test_direct_no_positions(spark, tmp_path):
     cfg = EngineConfig(
         index=IndexConfig(
