@@ -177,12 +177,21 @@ def write_report(args, complete) -> None:
                 "q_eff": (lo["query_batch_sec"] / hi["query_batch_sec"]) / 4.0,
             }
         )
+    def _median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2.0
+
     effs = sorted(r["eff"] for r in rows)
     q_effs = sorted(r["q_eff"] for r in rows)
-    med_eff = effs[len(effs) // 2]
-    med_q_eff = q_effs[len(q_effs) // 2]
+    med_eff = _median(effs)
+    med_q_eff = _median(q_effs)
     best = max(rows, key=lambda r: r["eff"])
     best_thr = max(rows, key=lambda r: r["hi"]["files_per_sec"])
+    first = complete[next(iter(complete))]
+    lvl_lo = first[n].get("master", f"local[{n}]")
+    lvl_hi = first[n4].get("master", f"local[{n4}]")
+    cluster = "local-cluster" in lvl_lo
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
     pair_rows = "\n".join(
@@ -199,8 +208,13 @@ def write_report(args, complete) -> None:
         f.write(
             f"""# BENCH/BASELINE — scaling protocol ({time.strftime('%Y-%m-%d %H:%M:%S')})
 
-Masters: {complete[next(iter(complete))][n].get('master', f'local[{n}]')} (N)
-vs {complete[next(iter(complete))][n4].get('master', f'local[{n4}]')} (4N).
+Masters: {lvl_lo} (N) vs {lvl_hi} (4N){
+" — REAL separate executor JVMs (W and 4W workers of 4 cores each), the"
+" faithful sandbox proxy for the north rule's N vs 4N executors: each"
+" executor has its own heap, its own Python workers, and real"
+" over-the-wire shuffle between JVMs" if cluster else
+" — thread-level parallelism in one JVM (see the cluster-mode pool for"
+" the separate-executor-JVM protocol)"}.
 Same job (full compressed index build: fused chunk+tokenize -> salted
 pre-sorted bucketed checkpoint [the only postings shuffle] -> no-shuffle
 delta+varbyte block-max segment encode; then the 50-query BM25/WAND batch
@@ -210,8 +224,8 @@ input_hint schema, seed 42), run in separate JVMs at two parallelism
 levels — the sandbox proxy for N vs 4N executors per the driver's round
 instructions.
 
-PROTOCOL: matched pairs. Each pair runs the local[{n}] (N) trial and the
-local[{n4}] (4N) trial BACK-TO-BACK in one invocation, and scaling
+PROTOCOL: matched pairs. Each pair runs the {lvl_lo} (N) trial and the
+{lvl_hi} (4N) trial BACK-TO-BACK in one invocation, and scaling
 efficiency is computed only within a pair — this box's background load
 shifts by integer factors between hours (measured: the identical 16-core
 trial binary went 83s -> 429s across one such shift), so bests pooled
@@ -236,9 +250,14 @@ Per-pair results (every number below also appears in the raw JSON):
 {pair_rows}
 
 Methodology (documented deviations and controls):
-- N=4 vs 16 rather than 8 vs 32: local[32] saturates the whole machine, so
-  the high level would contend with its own shuffle/GC/Python workers —
-  4 vs 16 is the cleanest same-box proxy for "same job, 4x the executors".
+- Total cores 4 vs 16 rather than 8 vs 32: 32 cores saturates the whole
+  machine, so the high level would contend with its own shuffle/GC/Python
+  workers — 4 vs 16 is the cleanest same-box proxy for "same job, 4x the
+  executors".{'''
+- Cluster mode runs each level as local-cluster[W,4,mem]: W separate
+  executor JVMs of 4 cores, so the 4N level exercises real inter-JVM
+  shuffle fetch and 4 independent Python-worker pools — the closest this
+  single box gets to 4x executor processes.''' if cluster else ''}
 - {args.docs} files per trial: sized so the N-level build runs minutes
   long — at 100 TB per-job fixed costs (driver scheduling, segment-meta
   commits, the ~4s sample pre-pass) are noise, so the corpus must be big
