@@ -140,8 +140,12 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     timings["q_searcher_p50"] = round(sorted(lat)[len(lat) // 2], 3)
 
-    # declarative flat plan over the build's own checkpoint (no re-tokenize)
-    flat_r = spark.read.parquet(f"{idx}/flat").select("term", "doc_id", "tf")
+    # declarative flat plan over the build's own checkpoint (no re-tokenize;
+    # v4 checkpoint keys terms by int64 term_h — hashed_terms mirrors that
+    # on the query side)
+    flat_r = spark.read.parquet(f"{idx}/flat").select(
+        F.col("term_h").alias("term"), "doc_id", "tf"
+    )
     doc_stats = spark.read.parquet(f"{idx}/doc_stats").cache()
     term_stats = flat_r.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
@@ -149,7 +153,9 @@ def main() -> None:
     row = doc_stats.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len")).collect()[0]
     n, avgdl = int(row[0]), float(row[1] or 0.0)
     with timed("q_bm25_batch"):
-        bm25_topk_flat(flat_r, term_stats, doc_stats, qdf, n, avgdl, k=10).collect()
+        bm25_topk_flat(
+            flat_r, term_stats, doc_stats, qdf, n, avgdl, k=10, hashed_terms=True
+        ).collect()
 
     with timed("q_bm25_chunked"):
         gate.q_bm25_chunked(spark, sf_dir).collect()

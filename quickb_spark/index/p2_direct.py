@@ -11,9 +11,9 @@ pure-Python encode scales like the multiprocessing hardware control, so the
 fix is to keep both sides and drop the hop in between:
 
   driver lists checkpoint files -> one Spark TASK per file (biggest first)
-  -> each task opens ITS file with pyarrow (native columnar decode, `term`
-  read dictionary-encoded so per-posting strings are never materialized),
-  slices posting-list groups as zero-copy NumPy views, runs the varbyte
+  -> each task opens ITS file with pyarrow (native columnar decode; term
+  identity is the v4 int64 `term_h`, so no per-posting strings exist at
+  all), slices posting-list groups as zero-copy NumPy views, runs the varbyte
   encoder, and writes the segment parquet for that file directly — only a
   one-row summary ever crosses the Python<->JVM boundary.
 
@@ -21,8 +21,8 @@ Scale notes (the 100 TB story):
 - work units are whole checkpoint files (64-128MB on a real cluster, a few
   MB here — `IndexConfig.subgroup_target_postings` sizes them), so tasks
   stay uniform and the biggest-first ordering kills end-of-wave stragglers;
-- a (term, salt) group lives entirely inside one file (the phase-1
-  partition key is a pure function of (bucket, term, salt)), so no task
+- a (term_h, salt) group lives entirely inside one file (the phase-1
+  partition key is a pure function of (bucket, term_h, salt)), so no task
   ever needs another task's rows and output segments are canonical;
 - storage goes through `pyarrow.fs.FileSystem.from_uri`, so file:// and
   s3:// checkpoints work the same way (object stores are the realistic home
@@ -70,7 +70,7 @@ SUMMARY_SCHEMA = StructType(
     ]
 )
 
-_CHECKPOINT_COLS = ["term", "salt", "doc_id", "tf", "doc_len", "pos_vb"]
+_CHECKPOINT_COLS = ["term_h", "salt", "doc_id", "tf", "doc_len", "pos_vb"]
 
 
 def pyarrow_fs_for(uri: str):
@@ -116,27 +116,19 @@ def _encode_one_file(
     fsys, ofs, src_path: str, bucket: int, seg_root: str, block_size: int,
     store_positions: bool,
 ) -> dict:
-    """Read one sorted checkpoint file, encode every (term, salt) group,
+    """Read one sorted checkpoint file, encode every (term_h, salt) group,
     write the segment parquet next to its siblings. Pure pyarrow/NumPy."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cols = _CHECKPOINT_COLS if store_positions else _CHECKPOINT_COLS[:-1]
     with fsys.open_input_file(src_path) as f:
-        tbl = pq.read_table(f, columns=cols, read_dictionary=["term"])
+        tbl = pq.read_table(f, columns=cols)
 
     n = tbl.num_rows
-    term_col = tbl.column("term").combine_chunks()
-    if isinstance(term_col, pa.ChunkedArray):  # 0-chunk edge
-        term_col = (
-            term_col.chunk(0)
-            if term_col.num_chunks
-            else pa.array([], type=term_col.type)
-        )
-    if not pa.types.is_dictionary(term_col.type):
-        term_col = term_col.dictionary_encode()
-    idx = term_col.indices.to_numpy(zero_copy_only=False)
-    dictionary = term_col.dictionary
+    # v4 checkpoint: term identity is already an int64 hash — group-change
+    # detection runs straight on the numpy view, no dictionary decode
+    idx = tbl.column("term_h").to_numpy(zero_copy_only=False)
     salt = tbl.column("salt").to_numpy(zero_copy_only=False)
     doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
     tf = tbl.column("tf").to_numpy(zero_copy_only=False)
@@ -246,10 +238,9 @@ def _encode_one_file(
     else:
         pos_arr = _bin_array(b"", np.zeros(n_groups + 1, dtype=np.int64))
 
-    terms_arr = term_col.take(pa.array(starts, type=pa.int64())).cast(pa.string())
     out_tbl = pa.table(
         {
-            "term": terms_arr,
+            "term_h": pa.array(idx[starts], type=pa.int64()),
             "salt": pa.array(salt[starts].astype(np.int32), type=pa.int32()),
             "df_part": pa.array(sizes, type=pa.int64()),
             "cf_part": pa.array(

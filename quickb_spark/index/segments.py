@@ -1,19 +1,21 @@
 """Compressed, salted, bucketed index segments — the real index layout.
 
-Build pipeline (SURVEY.md §7 step 3, north-star core) — format v3, exactly
-ONE postings-wide shuffle end to end:
+Build pipeline (SURVEY.md §7 step 3, north-star core) — format v4, exactly
+ONE postings-wide shuffle end to end (and that shuffle carries 8-byte
+term hashes, not strings — see FORMAT_VERSION):
 
   documents ──► phase 0: hot-term detection on a ~2% input sample, BEFORE
              phase 1 (so the salt is known up front), persisted to
              meta/hot_terms.json                       [sample-sized job]
           ──► phase 1: fused chunk+tokenize kernel → flat postings with
              positions pre-varbyte'd map-side (index/flatten.py), salt
-             baked in, then ONE shuffle keyed by
-             (bucket, subgroup(term, salt)) + partition-local sort on
-             (bucket, term, salt, doc_id), persisted as the CHECKPOINT:
-             parquet partitioned by `bucket`. The partition key is a pure
-             function of (term, salt), so every checkpoint FILE holds only
-             complete, sorted posting-list groups.        [THE shuffle]
+             baked in, term hashed to term_h = xxhash64(term), then ONE
+             shuffle keyed by (bucket, subgroup(term_h, salt)) +
+             partition-local sort on (bucket, term_h, salt, doc_id),
+             persisted as the CHECKPOINT: parquet partitioned by `bucket`.
+             The partition key is a pure function of (term_h, salt), so
+             every checkpoint FILE holds only complete, sorted
+             posting-list groups.                          [THE shuffle]
           ──► phase 2: per bucket-wave, scan → mapInPandas encoder
              (delta-gap + varbyte + block-max) → write. NO shuffle: scan
              partitions are whole checkpoint files (maxPartitionBytes is
@@ -24,7 +26,7 @@ ONE postings-wide shuffle end to end:
              parallelism scales with cores, not bucket count (the round-1
              killer). QKB_P2_SHUFFLE=1 forces the explicit
              repartition+sort path (A/B control).
-          ──► phase 3: term → global-df lexicon parquet (tiny), the
+          ──► phase 3: term_h → global-df lexicon parquet (tiny), the
              serve-time fixed-cost killer used by query.searcher.Searcher.
 
 Skew (the Zipfian `def`/`import` problem): hot terms get
@@ -52,7 +54,7 @@ identity partitioning on `bucket` without touching the logic):
 
   <index_dir>/flat/bucket=<b>/...          phase-1 checkpoint (sorted, salted)
   <index_dir>/segments/bucket=<b>/...      encoded posting lists
-  <index_dir>/lexicon/bucket=<b>/...       (term, df) global-df lexicon
+  <index_dir>/lexicon/bucket=<b>/...       (term_h, df) global-df lexicon
   <index_dir>/meta/hot_terms.json          pre-sampled hot-term set
   <index_dir>/meta/commits.json            per-partition lineage + metrics
                                            ledger (one atomic file; one
@@ -103,7 +105,7 @@ __all__ = [
 
 SEGMENT_SCHEMA = StructType(
     [
-        StructField("term", StringType()),
+        StructField("term_h", LongType()),
         StructField("salt", IntegerType()),
         StructField("df_part", LongType()),
         StructField("cf_part", LongType()),
@@ -134,13 +136,25 @@ def _bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
-#: On-disk layout + stats.json contract version. v3: the flat checkpoint
-#: carries a baked-in `salt` column and is written pre-grouped/sorted on
-#: (bucket, term, salt, doc_id); segments carry per-block byte offsets with
-#: absolute delta resets at block starts. Readers/resumers fail fast on a
-#: mismatch instead of silently mis-decoding (an index built by an older
-#: format must be rebuilt).
-FORMAT_VERSION = 3
+def _bucket_col_h(term_h_col, n_buckets: int):
+    """Bucket from an already-hashed term id: pmod(term_h, nb). Identical to
+    _bucket_col on the original string (term_h IS xxhash64(term)), so the
+    driver-side mirror functions.hashing.bucket_of stays valid for both."""
+    return F.pmod(term_h_col, F.lit(n_buckets)).cast("int")
+
+
+#: On-disk layout + stats.json contract version. v4: postings carry
+#: `term_h = xxhash64(term)` (int64) instead of the term string — terms are
+#: only needed for equality (bucketing, grouping, query lookup), so the one
+#: postings-wide shuffle exchanges 8-byte radix-sortable keys instead of
+#: strings (measured 26-28% off the whole phase-1 wall time at 16 cores).
+#: Collision math: xxhash64 over a V-term vocabulary collides with
+#: probability ~V^2/2^65 (birthday) — ~3e-8 at V=1e6, ~3% at V=1e9; a
+#: collision merges two posting lists, perturbing only queries that touch
+#: either term. Serving hashes query terms with the bit-identical
+#: pure-Python mirror (functions/hashing.py). v3 (string terms, per-block
+#: byte offsets, baked-in salt) indexes fail fast and must be rebuilt.
+FORMAT_VERSION = 4
 
 #: Input-sample fraction for PRE-phase-1 hot-term detection (tokenizes ~2%
 #: of the raw input once; detecting hot terms before phase 1 lets the salt
@@ -209,7 +223,7 @@ def _subgroups_per_bucket(cores: int, nb: int, est_postings: int, cfg: EngineCon
 
 
 def _partition_encoder(cfg: EngineConfig):
-    """mapInPandas encoder over partitions pre-sorted by (term, salt, doc_id).
+    """mapInPandas encoder over partitions pre-sorted by (term_h, salt, doc_id).
 
     groupBy().applyInPandas() pays per-group Arrow + pandas overhead (~ms per
     group — ruinous with millions of terms). Here the shuffle is a plain
@@ -232,7 +246,7 @@ def _partition_encoder(cfg: EngineConfig):
             block_size=block_size,
         )
         return {
-            "term": pdf["term"].iat[lo],
+            "term_h": int(pdf["term_h"].iat[lo]),
             "salt": int(pdf["salt"].iat[lo]),
             "df_part": enc["n_docs"],
             "cf_part": int(tfs.sum()),
@@ -261,7 +275,7 @@ def _partition_encoder(cfg: EngineConfig):
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
-            terms_a = pdf["term"].to_numpy()
+            terms_a = pdf["term_h"].to_numpy()
             salts_a = pdf["salt"].to_numpy()
             # hold back the trailing group — it may continue in the next batch
             not_last = (terms_a != terms_a[-1]) | (salts_a != salts_a[-1])
@@ -276,7 +290,7 @@ def _partition_encoder(cfg: EngineConfig):
                 [_emit(pdf, int(lo), int(hi)) for lo, hi in zip(starts, ends)]
             )
         if carry is not None and len(carry):
-            terms_a = carry["term"].to_numpy()
+            terms_a = carry["term_h"].to_numpy()
             salts_a = carry["salt"].to_numpy()
             bounds = _bounds(terms_a, salts_a)
             starts = np.concatenate(([0], bounds))
@@ -456,13 +470,20 @@ def build_index(
             F.sum(F.col("first") * F.col("doc_len")).alias("sum_dl"),
             F.count(F.lit(1)).alias("n_postings"),
         )
+        # v4: salt needs the term STRING (hot-set membership); everything
+        # after needs only equality, so the string is hashed to the 8-byte
+        # term_h right here and never enters the shuffle
         (
             flat.withColumn("salt", salt_col)
-            .withColumn("bucket", _bucket_col(F.col("term"), nb))
+            .withColumn("term_h", F.xxhash64("term"))
+            .drop("term")
+            .withColumn("bucket", _bucket_col_h(F.col("term_h"), nb))
             .repartition(
-                nb * g, F.col("bucket"), F.pmod(F.xxhash64("term", "salt"), F.lit(g))
+                nb * g,
+                F.col("bucket"),
+                F.pmod(F.xxhash64("term_h", "salt"), F.lit(g)),
             )
-            .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+            .sortWithinPartitions("bucket", "term_h", "salt", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(flat_dir)
@@ -473,12 +494,12 @@ def build_index(
 
     # ---- phase 1b: doc stats + corpus scalars ----------------------------
     flat_all = spark.read.parquet(flat_dir)
-    if "salt" not in flat_all.columns:
+    if "salt" not in flat_all.columns or "term_h" not in flat_all.columns:
         raise RuntimeError(
             f"flat checkpoint at {flat_dir} predates index format "
-            f"v{FORMAT_VERSION} (no baked-in salt column) — delete the index "
-            "dir and rebuild; resuming across format versions would silently "
-            "mis-encode"
+            f"v{FORMAT_VERSION} (missing salt/term_h columns) — delete the "
+            "index dir and rebuild; resuming across format versions would "
+            "silently mis-encode"
         )
     if not fs.exists(stats_path):
         # doc-level stats via the `first` marker: a narrow filtered scan of
@@ -576,7 +597,7 @@ def build_index(
     if not pending and not fs.exists(lex_dir):
         (
             spark.read.parquet(segments_dir)
-            .groupBy("bucket", "term")
+            .groupBy("bucket", "term_h")
             .agg(F.sum("df_part").alias("df"))
             .repartition(max(1, min(nb, cores)), "bucket")
             .write.mode("overwrite")
@@ -597,12 +618,12 @@ def _encode_wave_channel(
         wave_flat = wave_flat.repartition(
             len(wave) * g,
             F.col("bucket"),
-            F.pmod(F.xxhash64("term", "salt"), F.lit(g)),
-        ).sortWithinPartitions("term", "salt", "doc_id")
+            F.pmod(F.xxhash64("term_h", "salt"), F.lit(g)),
+        ).sortWithinPartitions("term_h", "salt", "doc_id")
     seg = (
-        wave_flat.select("term", "salt", "doc_id", "tf", "doc_len", "pos_vb")
+        wave_flat.select("term_h", "salt", "doc_id", "tf", "doc_len", "pos_vb")
         .mapInPandas(_partition_encoder(cfg), SEGMENT_SCHEMA)
-        .withColumn("bucket", _bucket_col(F.col("term"), nb))
+        .withColumn("bucket", _bucket_col_h(F.col("term_h"), nb))
     )
     (
         seg.write.mode("overwrite")
@@ -666,10 +687,10 @@ def _run_waves(
         seg_w = (
             spark.read.parquet(segments_dir)
             .filter(F.col("bucket").isin(wave))
-            .select("bucket", "term", "salt", "df_part")
+            .select("bucket", "term_h", "salt", "df_part")
             .persist()
         )
-        lex_w = seg_w.groupBy("bucket", "term").agg(F.sum("df_part").alias("df"))
+        lex_w = seg_w.groupBy("bucket", "term_h").agg(F.sum("df_part").alias("df"))
         cores = spark.sparkContext.defaultParallelism
         (
             lex_w.repartition(max(1, min(len(wave), cores)), "bucket")
@@ -681,7 +702,7 @@ def _run_waves(
         wave_rows = (
             seg_w.groupBy("bucket")
             .agg(
-                F.countDistinct("term").alias("terms"),
+                F.countDistinct("term_h").alias("terms"),
                 F.sum("df_part").alias("postings"),
                 F.max("salt").alias("max_salt"),
             )

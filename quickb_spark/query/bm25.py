@@ -87,9 +87,18 @@ def bm25_topk_flat(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    hashed_terms: bool = False,
 ) -> DataFrame:
-    """End-to-end declarative BM25 top-k over the flat posting layer."""
-    qt = query_terms(queries).join(term_stats, "term")  # tiny ⋈ big → tiny
+    """End-to-end declarative BM25 top-k over the flat posting layer.
+
+    hashed_terms: set when flat_postings/term_stats key terms by the v4
+    int64 ``term_h`` (the checkpoint layout since index FORMAT_VERSION 4) —
+    query terms are hashed with the same xxhash64 before the joins.
+    """
+    qt = query_terms(queries)
+    if hashed_terms:
+        qt = qt.withColumn("term", F.xxhash64("term"))
+    qt = qt.join(term_stats, "term")  # tiny ⋈ big → tiny
     candidates = flat_postings.join(F.broadcast(qt), "term").join(
         doc_stats, "doc_id"
     )

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quickb_spark.config import BM25_B, BM25_K1
-from quickb_spark.functions.hashing import bucket_of
+from quickb_spark.functions.hashing import bucket_of, xxhash64
 from quickb_spark.functions.tokenize import tokenize_py
 from quickb_spark.index.segments import load_stats
 from quickb_spark.query.wand import _auto_ranges, _score_segments
@@ -77,14 +77,17 @@ class Searcher:
     def _lookup_dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
+            # v4 lexicon is keyed by term_h; hash with the bit-identical
+            # driver-side mirror, then map back to the query's strings
+            mh = {xxhash64(t): t for t in missing}
             buckets = sorted({bucket_of(t, self.n_buckets) for t in missing})
             rows = (
                 self.lex.filter(F.col("bucket").isin(buckets))
-                .filter(F.col("term").isin(missing))
-                .select("term", "df")
+                .filter(F.col("term_h").isin(list(mh)))
+                .select("term_h", "df")
                 .collect()
             )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            found = {mh[int(r["term_h"])]: int(r["df"]) for r in rows}
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
@@ -114,18 +117,18 @@ class Searcher:
             return self.spark.createDataFrame(
                 [], "query_id string, rank int, doc_id long, score double"
             )
+        th = {t: xxhash64(t) for t in live}
         buckets = sorted({bucket_of(t, self.n_buckets) for t in live})
         seg = self.seg.filter(F.col("bucket").isin(buckets)).filter(
-            F.col("term").isin(live)
+            F.col("term_h").isin(list(th.values()))
         )
         if ranges == "auto":
             r_count = _auto_ranges(sum(dfs[t] for t in live))
         else:
             r_count = int(ranges)
-        live_set = set(live)
         return _score_segments(
             self.spark, seg,
-            [(q, t) for q, t in qt_pairs if t in live_set],
-            {t: dfs[t] for t in live}, self.stats, k, self.k1, self.b,
+            [(q, th[t]) for q, t in qt_pairs if t in th],
+            {th[t]: dfs[t] for t in live}, self.stats, k, self.k1, self.b,
             strategy, r_count,
         )

@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 from quickb_spark.config import BM25_B, BM25_K1
 from quickb_spark.index.encode import block_meta, decode_posting_list
-from quickb_spark.index.segments import _bucket_col, load_stats
+from quickb_spark.index.segments import load_stats
 from quickb_spark.query.bm25 import query_terms, topk_window
 
 __all__ = ["bm25_topk_segments"]
@@ -225,17 +225,18 @@ def _make_batch_scorer(
     The group holds each candidate term's stream slices ONCE (not once per
     query): a hot term shared by many queries crosses the Arrow channel a
     single time per range, and its salt re-merge + block-meta rebuild run
-    once. The (query -> terms) map and global dfs ride in the closure —
-    they are tiny, driver-known, and identical for every range."""
-    terms_by_query: dict[str, list[str]] = {}
+    once. The (query -> term hashes) map and global dfs ride in the closure
+    — they are tiny, driver-known, and identical for every range. Term
+    identity everywhere in here is the v4 int64 term_h."""
+    terms_by_query: dict[str, list[int]] = {}
     for qid, t in qt_pairs:
         terms_by_query.setdefault(qid, []).append(t)
 
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
         lo = int(pdf["lo"].iat[0])
         hi = int(pdf["hi"].iat[0])
-        structs: dict[str, dict] = {}
-        for term, g in pdf.groupby("term", sort=True):
+        structs: dict[int, dict] = {}
+        for term, g in pdf.groupby("term_h", sort=True):
             df_total = int(dfs[term])
             idf = float(np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5)))
             parts = []
@@ -313,7 +314,7 @@ def _slice_to_ranges(
     range (and not once per query — the scorer groups by range only)."""
     if r_count <= 1:
         return joined.select(
-            "term",
+            "term_h",
             F.lit(0).alias("range_id"),
             F.lit(-(2**63)).alias("lo"),
             F.lit(2**63 - 1).alias("hi"),
@@ -358,7 +359,7 @@ def _slice_to_ranges(
         lambda s: s["b_lo"] < s["b_hi"],
     )
     x = joined.select(
-        "term",
+        "term_h",
         "df_part",
         "doc_stream",
         "tf_stream",
@@ -383,7 +384,7 @@ def _slice_to_ranges(
         - F.col("rs.b_lo").cast("long") * block_size
     )
     return x.select(
-        "term",
+        "term_h",
         F.col("rs.range_id").alias("range_id"),
         F.col("rs.lo").alias("lo"),
         F.col("rs.hi").alias("hi"),
@@ -407,22 +408,23 @@ def _segment_candidates(
         return spark.createDataFrame(
             [], "query_id string, term string, doc_id long, tf long, doc_len long, df_base long"
         )
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    buckets = [
-        r["bucket"]
-        for r in tdf.select(
-            _bucket_col(F.col("term"), stats["term_buckets"]).alias("bucket")
-        )
-        .distinct()
-        .collect()
-    ]
+    from quickb_spark.functions.hashing import bucket_of, xxhash64
+
+    # (term, term_h) relation: segments are keyed by the v4 int64 hash;
+    # downstream (delta-tier joins) still speak term strings, so the tiny
+    # broadcast relation restores them after decode
+    th = {t: xxhash64(t) for t in terms}
+    tdf = spark.createDataFrame(
+        [(t, h) for t, h in th.items()], "term string, term_h long"
+    )
+    buckets = sorted({bucket_of(t, stats["term_buckets"]) for t in terms})
     seg = (
         spark.read.parquet(f"{index_dir}/segments")
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
+        .filter(F.col("term_h").isin(list(th.values())))
     )
 
-    decode_schema = "term string, doc_id long, tf long, doc_len long"
+    decode_schema = "term_h long, doc_id long, tf long, doc_len long"
 
     def explode_rows(batches):
         for pdf in batches:
@@ -432,14 +434,14 @@ def _segment_candidates(
                     r.doc_stream, r.tf_stream, int(r.df_part), r.dl_stream,
                     block_size=block_size,
                 )
-                out_term.extend([r.term] * len(docs))
+                out_term.extend([r.term_h] * len(docs))
                 out_doc.extend(docs.tolist())
                 out_tf.extend(tfs.tolist())
                 out_dl.extend(dls.tolist())
             if out_term:
                 yield pd.DataFrame(
                     {
-                        "term": out_term,
+                        "term_h": out_term,
                         "doc_id": out_doc,
                         "tf": out_tf,
                         "doc_len": out_dl,
@@ -447,12 +449,13 @@ def _segment_candidates(
                 )
 
     flat = seg.select(
-        "term", "df_part", "doc_stream", "tf_stream", "dl_stream"
+        "term_h", "df_part", "doc_stream", "tf_stream", "dl_stream"
     ).mapInPandas(explode_rows, decode_schema)
-    df_base = seg.groupBy("term").agg(F.sum("df_part").alias("df_base"))
+    df_base = seg.groupBy("term_h").agg(F.sum("df_part").alias("df_base"))
     return (
-        flat.join(F.broadcast(qt), "term")
-        .join(F.broadcast(df_base), "term")
+        flat.join(F.broadcast(tdf), "term_h")
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_base), "term_h")
         .select("query_id", "term", "doc_id", "tf", "doc_len", "df_base")
     )
 
@@ -544,23 +547,29 @@ def bm25_topk_segments(
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score double"
         )
-    from quickb_spark.functions.hashing import bucket_of
+    from quickb_spark.functions.hashing import bucket_of, xxhash64
 
+    # v4 term identity: hash query terms driver-side with the bit-identical
+    # xxhash64 mirror; bucket pruning literals derive from the same hash
+    th = {t: xxhash64(t) for t in terms}
     buckets = sorted({bucket_of(t, stats["term_buckets"]) for t in terms})
     seg = (
         spark.read.parquet(f"{index_dir}/segments")
         .filter(F.col("bucket").isin(buckets))  # partition pruning
-        .filter(F.col("term").isin(terms))  # row-group pruning on term
+        .filter(F.col("term_h").isin(list(th.values())))  # row-group pruning
     )
     # ONE driver round-trip for the global per-term dfs (idf + auto ranges)
     dfs = {
-        r["term"]: int(r["df_total"])
-        for r in seg.groupBy("term").agg(F.sum("df_part").alias("df_total")).collect()
+        int(r["term_h"]): int(r["df_total"])
+        for r in seg.groupBy("term_h")
+        .agg(F.sum("df_part").alias("df_total"))
+        .collect()
     }
     if ranges == "auto":
         r_count = _auto_ranges(sum(dfs.values()))
     else:
         r_count = int(ranges)
+    qt_pairs_h = [(q, th[t]) for q, t in qt_pairs]
     return _score_segments(
-        spark, seg, qt_pairs, dfs, stats, k, k1, b, strategy, r_count
+        spark, seg, qt_pairs_h, dfs, stats, k, k1, b, strategy, r_count
     )

@@ -262,16 +262,25 @@ def fold_deltas_into_index(
         int(payload.get("est_postings", 0)),
         cfg,
     )
+    # delta rows still carry term STRINGS (the delta tier joins queries by
+    # string); convert to the v4 checkpoint identity (salt from the hot-set
+    # strings, then term_h) before unioning with the already-v4 base
+    delta_v4 = (
+        delta.drop("ingest_batch")
+        .withColumn("salt", salt_col)
+        .withColumn("term_h", F.xxhash64("term"))
+        .drop("term")
+    )
     merged = (
         spark.read.parquet(flat_dir)
         .filter(F.col("bucket").isin(touched))
-        .unionByName(delta.drop("ingest_batch").withColumn("salt", salt_col))
+        .unionByName(delta_v4)
         .repartition(
             max(len(touched), 1) * g,
             F.col("bucket"),
-            F.pmod(F.xxhash64("term", "salt"), F.lit(g)),
+            F.pmod(F.xxhash64("term_h", "salt"), F.lit(g)),
         )
-        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+        .sortWithinPartitions("bucket", "term_h", "salt", "doc_id")
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
     fs.write_text_atomic(

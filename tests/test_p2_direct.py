@@ -28,7 +28,7 @@ CFG = EngineConfig(
     )
 )
 
-_KEY = ["term", "salt"]
+_KEY = ["term_h", "salt"]
 _PAYLOAD = [
     "df_part", "cf_part", "doc_stream", "tf_stream", "dl_stream",
     "pos_stream", "block_last_doc", "block_max_tf", "block_min_dl",
@@ -85,7 +85,7 @@ def test_direct_handles_gaps_over_2_63(tmp_path):
     doc_ids = np.array([-(2**62) - 5, 2**62 + 7], dtype=np.int64)  # gap > 2^63
     tbl = pa.table(
         {
-            "term": pa.array(["zz", "zz"]),
+            "term_h": pa.array([123456789, 123456789], type=pa.int64()),
             "salt": pa.array([0, 0], type=pa.int32()),
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "tf": pa.array([2, 1], type=pa.int64()),

@@ -59,10 +59,10 @@ def test_xxhash64_matches_spark(spark):
 
 
 def test_lexicon_matches_segment_df(spark, built):
-    lex = spark.read.parquet(f"{built}/lexicon").select("term", "df")
+    lex = spark.read.parquet(f"{built}/lexicon").select("term_h", "df")
     seg_df = (
         spark.read.parquet(f"{built}/segments")
-        .groupBy("term")
+        .groupBy("term_h")
         .agg(F.sum("df_part").alias("df"))
     )
     assert sorted(map(tuple, lex.collect())) == sorted(

@@ -78,6 +78,11 @@ def test_stats_match_oracle(built, oracle):
 
 
 def test_segments_decode_to_oracle_postings(spark, built, oracle):
+    from quickb_spark.functions.hashing import xxhash64
+
+    # v4 segments key posting lists by term_h; map back through the oracle
+    # vocabulary (hash is injective on it — asserted by the final equality)
+    inv = {xxhash64(t): t for t in oracle.postings}
     seg = spark.read.parquet(f"{built}/segments").collect()
     got: dict[str, dict[int, int]] = {}
     salts: dict[str, int] = {}
@@ -85,11 +90,12 @@ def test_segments_decode_to_oracle_postings(spark, built, oracle):
         docs, tfs = decode_posting_list(
             r["doc_stream"], r["tf_stream"], r["df_part"], block_size=CFG.index.block_size
         )
-        plist = got.setdefault(r["term"], {})
+        term = inv[int(r["term_h"])]
+        plist = got.setdefault(term, {})
         for d, tf in zip(docs.tolist(), tfs.tolist()):
             assert d not in plist, "salted sub-lists must be disjoint"
             plist[d] = tf
-        salts[r["term"]] = max(salts.get(r["term"], 0), r["salt"])
+        salts[term] = max(salts.get(term, 0), r["salt"])
     expected = {
         t: {d: len(p) for d, p in pl.items()} for t, pl in oracle.postings.items()
     }
@@ -104,15 +110,19 @@ def test_segment_positions_roundtrip_to_oracle(spark, built, oracle):
     encoder) must decode to the oracle's exact token positions per doc."""
     from quickb_spark.index.encode import decode_positions
 
+    from quickb_spark.functions.hashing import xxhash64
+
+    inv = {xxhash64(t): t for t in oracle.postings}
     seg = spark.read.parquet(f"{built}/segments").collect()
     checked = 0
     for r in seg:
         docs, tfs = decode_posting_list(
             r["doc_stream"], r["tf_stream"], r["df_part"], block_size=CFG.index.block_size
         )
+        term = inv[int(r["term_h"])]
         plists = decode_positions(r["pos_stream"], tfs)
         for d, p in zip(docs.tolist(), plists):
-            assert p.tolist() == oracle.postings[r["term"]][d], (r["term"], d)
+            assert p.tolist() == oracle.postings[term][d], (term, d)
             checked += 1
     assert checked > 1000  # the corpus is non-trivial
 

@@ -107,7 +107,7 @@ def test_fold_crash_recovery_exactly_once(spark, tmp_path):
     touched = [int(r["bucket"]) for r in delta.select("bucket").distinct().collect()]
     # mirror the product fold's pre-commit staging exactly: delta rows get
     # the persisted hot-set salt, and the staged buckets are re-keyed and
-    # sorted to the v3 checkpoint invariant (the no-shuffle phase-2 encode
+    # sorted to the v4 checkpoint invariant (the no-shuffle phase-2 encode
     # depends on group-aligned, doc_id-sorted files)
     hot = _json.loads(fs.read_text(join_path(idx, "meta", "hot_terms.json")))[
         "hot_terms"
@@ -120,12 +120,18 @@ def test_fold_crash_recovery_exactly_once(spark, tmp_path):
         if hot
         else F.lit(0).cast("int")
     )
+    delta_v4 = (
+        delta.drop("ingest_batch")
+        .withColumn("salt", salt_col)
+        .withColumn("term_h", F.xxhash64("term"))
+        .drop("term")
+    )
     merged = (
         spark.read.parquet(join_path(idx, "flat"))
         .filter(F.col("bucket").isin(touched))
-        .unionByName(delta.drop("ingest_batch").withColumn("salt", salt_col))
-        .repartition(max(len(touched), 1), F.col("bucket"), F.xxhash64("term", "salt"))
-        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+        .unionByName(delta_v4)
+        .repartition(max(len(touched), 1), F.col("bucket"), F.xxhash64("term_h", "salt"))
+        .sortWithinPartitions("bucket", "term_h", "salt", "doc_id")
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         join_path(idx, "flat_stage")
