@@ -71,6 +71,10 @@ def main() -> None:
         cfg=cfg,
         wave_size=args.wave_size,
         documents=docs,
+        # parquet inputs also get the direct (no-Arrow-channel) phase 1;
+        # iceberg stays on the DataFrame path (snapshot resolution happens
+        # in the JVM reader, not in a file listing)
+        corpus_uri=args.input if args.input_format == "parquet" else None,
     )
     meta = segments_meta(spark, args.index_dir)
     meta.orderBy("partition_id").show(20, truncate=False)

@@ -17,22 +17,41 @@ fix is to keep both sides and drop the hop in between:
   encoder, and writes the segment parquet for that file directly — only a
   one-row summary ever crosses the Python<->JVM boundary.
 
+Two consumption modes over two checkpoint layouts:
+
+- `encode_wave_direct` (complete-group layout, written by the channel
+  phase 1's repartition+sort): one task per checkpoint file; every
+  (term_h, salt) group lives entirely inside one file, so tasks are
+  independent by construction.
+- `merge_encode_buckets` (sorted-runs layout, written by the direct
+  phase 1 — index/p1_direct.py): one task per BUCKET; the task k-way
+  merges its bucket's per-task sorted runs (each run is already sorted by
+  (term_h, salt, doc_id), so the merge is one stable lexsort over the
+  concatenated columns plus a vectorized byte-slice gather), feeds the
+  same encode core, and writes BOTH the bucket's segment file and its
+  (term_h, df) lexicon rows — no postings shuffle and no per-wave Spark
+  lexicon job exist in this mode at all. This is the north star's layout:
+  per-partition sorted posting lists, k-way merged and compressed.
+
 Scale notes (the 100 TB story):
-- work units are whole checkpoint files (64-128MB on a real cluster, a few
-  MB here — `IndexConfig.subgroup_target_postings` sizes them), so tasks
-  stay uniform and the biggest-first ordering kills end-of-wave stragglers;
-- a (term_h, salt) group lives entirely inside one file (the phase-1
-  partition key is a pure function of (bucket, term_h, salt)), so no task
-  ever needs another task's rows and output segments are canonical;
+- work units are whole checkpoint files / buckets (64-128MB on a real
+  cluster, a few MB here), so tasks stay uniform and biggest-first ordering
+  kills end-of-wave stragglers;
+- a merge task holds one bucket's postings in memory (columnar numpy, ~30
+  bytes/posting); `IndexConfig.term_buckets` is the knob that keeps a
+  bucket at ~1-4 GB on a real corpus — the same dial as Spark's shuffle
+  partition count. A larger-than-memory bucket would stream row-group
+  k-way merges instead; not needed at this corpus scale;
 - storage goes through `pyarrow.fs.FileSystem.from_uri`, so file:// and
   s3:// checkpoints work the same way (object stores are the realistic home
   of a 10^12-file index; there is no data-locality to lose). Schemes
   pyarrow cannot open locally (e.g. hdfs:// without libhdfs) raise at
   listing time and `build_index` falls back to the in-channel encoder;
-- idempotency: output file names are a pure function of input file names,
-  and `build_index` deletes the segment dirs of UNCOMMITTED buckets before
-  each wave, so task retries and crash-resume both converge to the same
-  layout (the per-bucket meta JSON stays the commit marker).
+- idempotency: output file names are a pure function of input file names
+  (merge mode: of the bucket id), and `build_index` deletes the segment +
+  lexicon dirs of UNCOMMITTED buckets before each wave, so task retries and
+  crash-resume both converge to the same layout (the commit ledger stays
+  the commit marker).
 """
 
 from __future__ import annotations
@@ -52,8 +71,11 @@ from pyspark.sql.types import (
 
 __all__ = [
     "encode_wave_direct",
+    "merge_encode_buckets",
     "list_bucket_files",
     "pyarrow_fs_for",
+    "gather_slices",
+    "binary_array",
     "SUMMARY_SCHEMA",
 ]
 
@@ -112,52 +134,88 @@ def list_bucket_files(flat_dir: str, buckets: list[int]) -> list[tuple[int, str,
     return out
 
 
-def _encode_one_file(
-    fsys, ofs, src_path: str, bucket: int, seg_root: str, block_size: int,
-    store_positions: bool,
-) -> dict:
-    """Read one sorted checkpoint file, encode every (term_h, salt) group,
-    write the segment parquet next to its siblings. Pure pyarrow/NumPy."""
+def gather_slices(src, off: np.ndarray, order: np.ndarray):
+    """Reorder variable-length byte slices: -> (values bytes, offsets
+    int64[n+1]) in `order`. Fully vectorized (one fancy-index gather)."""
+    lens = (off[1:] - off[:-1])[order]
+    out_off = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return b"", out_off
+    src_arr = np.frombuffer(src, dtype=np.uint8)
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_off[:-1], lens)
+        + np.repeat(off[:-1][order], lens)
+    )
+    return src_arr[idx].tobytes(), out_off
+
+
+def binary_array(values, off: np.ndarray):
+    """Zero-copy pyarrow binary array over a shared (values, offsets) pair;
+    falls back to large_binary when the byte total exceeds int32."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    cols = _CHECKPOINT_COLS if store_positions else _CHECKPOINT_COLS[:-1]
-    with fsys.open_input_file(src_path) as f:
-        tbl = pq.read_table(f, columns=cols)
-
-    n = tbl.num_rows
-    # v4 checkpoint: term identity is already an int64 hash — group-change
-    # detection runs straight on the numpy view, no dictionary decode
-    idx = tbl.column("term_h").to_numpy(zero_copy_only=False)
-    salt = tbl.column("salt").to_numpy(zero_copy_only=False)
-    doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    tf = tbl.column("tf").to_numpy(zero_copy_only=False)
-    doc_len = tbl.column("doc_len").to_numpy(zero_copy_only=False)
-    if store_positions:
-        # zero-copy slicing of the flat values buffer via the offsets buffer:
-        # rows are doc_id-sorted within each group (v3 checkpoint invariant),
-        # so a group's pos stream is ONE contiguous slice. large_binary cast
-        # gives int64 offsets (safe past 2GB of per-file position data).
-        pos_col = tbl.column("pos_vb").combine_chunks().cast(pa.large_binary())
-        if pos_col.offset != 0:  # defensive: realign a sliced array
-            pos_col = pa.concat_arrays([pos_col])
-        pos_off = np.frombuffer(pos_col.buffers()[1], dtype=np.int64)[: n + 1]
-        pos_buf = pos_col.buffers()[2]
-        pos_bytes = (
-            memoryview(pos_buf)[: pos_off[-1]] if n else memoryview(b"")
+    n = len(off) - 1
+    if off[-1] <= np.iinfo(np.int32).max:
+        return pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(off.astype(np.int32).tobytes()),
+             pa.py_buffer(values)],
         )
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(off.astype(np.int64).tobytes()),
+         pa.py_buffer(values)],
+    )
 
-    # ---- fully vectorized whole-file encode ------------------------------
-    # The file holds ~1e3-1e4 posting-list groups of ~1e2 postings each;
-    # calling the per-group encoder (index/encode.py) costs ~0.7ms of NumPy
-    # fixed overhead PER GROUP — more than the actual byte work. Instead,
-    # every stream is encoded in ONE pass over the whole file (absolute-gap
-    # resets at block starts make groups independent by construction) and
-    # per-group slices are materialized as zero-copy Arrow binary arrays
-    # over the shared buffer. Byte-identical to encode_posting_list
-    # (asserted in tests/test_p2_direct.py).
+
+def _pos_arrays(tbl, n: int):
+    """Extract (pos_off int64[n+1] zero-based, pos bytes) from a checkpoint
+    table's pos_vb column, zero-copy via the Arrow offsets buffer."""
+    import pyarrow as pa
+
+    pos_col = tbl.column("pos_vb").combine_chunks().cast(pa.large_binary())
+    if pos_col.offset != 0:  # defensive: realign a sliced array
+        pos_col = pa.concat_arrays([pos_col])
+    pos_off = np.frombuffer(pos_col.buffers()[1], dtype=np.int64)[: n + 1]
+    pos_buf = pos_col.buffers()[2]
+    pos_bytes = memoryview(pos_buf)[: pos_off[-1]] if n else memoryview(b"")
+    return pos_off, pos_bytes
+
+
+def encode_sorted_groups(
+    idx: np.ndarray,
+    salt: np.ndarray,
+    doc_id: np.ndarray,
+    tf: np.ndarray,
+    doc_len: np.ndarray,
+    pos_off,
+    pos_bytes,
+    block_size: int,
+    store_positions: bool,
+    src_label: str,
+):
+    """The vectorized whole-input encode core: postings sorted by
+    (term_h, salt, doc_id) -> (segment pyarrow Table, n_groups, max_salt).
+
+    The input holds ~1e3-1e5 posting-list groups of ~1e2 postings each;
+    calling the per-group encoder (index/encode.py) costs ~0.7ms of NumPy
+    fixed overhead PER GROUP — more than the actual byte work. Instead,
+    every stream is encoded in ONE pass over the whole input (absolute-gap
+    resets at block starts make groups independent by construction) and
+    per-group slices are materialized as zero-copy Arrow binary arrays
+    over the shared buffer. Byte-identical to encode_posting_list
+    (asserted in tests/test_p2_direct.py).
+
+    `pos_off` must be zero-based int64[n+1]; `pos_bytes` the matching
+    contiguous byte region (ignored unless store_positions)."""
+    import pyarrow as pa
+
     from quickb_spark.index.encode import to_u64, varbyte_encode, varbyte_lengths
 
+    n = len(idx)
     if n:
         change = np.flatnonzero((idx[1:] != idx[:-1]) | (salt[1:] != salt[:-1])) + 1
         starts = np.concatenate(([0], change)).astype(np.int64)
@@ -170,14 +228,14 @@ def _encode_one_file(
     # sortedness check by COMPARISON in order-preserving u64 space —
     # np.diff on raw int64 doc_ids overflows when an adjacent gap exceeds
     # 2^63 (near-certain for df<=3 posting lists, whose two docs land
-    # anywhere in the int64 range) and would flag a perfectly sorted file
+    # anywhere in the int64 range) and would flag a perfectly sorted input
     u_check = to_u64(doc_id)
     if n and not (
         (u_check[1:] > u_check[:-1]) | (pos_in_group[1:] == 0)
     ).all():
         raise ValueError(
-            f"checkpoint group not strictly doc_id-sorted in {src_path} — "
-            "file predates the v3 invariant or was rewritten outside "
+            f"checkpoint group not strictly doc_id-sorted in {src_label} — "
+            "input predates the v3 invariant or was rewritten outside "
             "build_index; rebuild the flat checkpoint"
         )
 
@@ -211,18 +269,9 @@ def _encode_one_file(
     tf_data, tf_goff, tf_boff = _stream(tf_u)
     dl_data, dl_goff, dl_boff = _stream(dl_u)
 
-    def _bin_array(data, goff):
-        if goff[-1] <= np.iinfo(np.int32).max:
-            return pa.Array.from_buffers(
-                pa.binary(), n_groups,
-                [None, pa.py_buffer(goff.astype(np.int32).tobytes()),
-                 pa.py_buffer(data)],
-            )
-        return pa.Array.from_buffers(
-            pa.large_binary(), n_groups,
-            [None, pa.py_buffer(goff.astype(np.int64).tobytes()),
-             pa.py_buffer(data)],
-        ).cast(pa.binary())
+    def _bin(data, goff):
+        arr = binary_array(data, goff)
+        return arr.cast(pa.binary()) if arr.type == pa.large_binary() else arr
 
     def _list_array(values):
         return pa.ListArray.from_arrays(
@@ -231,12 +280,10 @@ def _encode_one_file(
         )
 
     if store_positions and n:
-        pos_goff = pos_off[np.append(starts, n)]
-        pos_arr = _bin_array(
-            bytes(pos_bytes), pos_goff - pos_goff[0]
-        ) if pos_goff[0] else _bin_array(bytes(pos_bytes), pos_goff)
+        pos_goff = np.asarray(pos_off, dtype=np.int64)[np.append(starts, n)]
+        pos_arr = _bin(bytes(pos_bytes), pos_goff)
     else:
-        pos_arr = _bin_array(b"", np.zeros(n_groups + 1, dtype=np.int64))
+        pos_arr = _bin(b"", np.zeros(n_groups + 1, dtype=np.int64))
 
     out_tbl = pa.table(
         {
@@ -248,9 +295,9 @@ def _encode_one_file(
                 else np.empty(0, dtype=np.int64),
                 type=pa.int64(),
             ),
-            "doc_stream": _bin_array(doc_data, doc_goff),
-            "tf_stream": _bin_array(tf_data, tf_goff),
-            "dl_stream": _bin_array(dl_data, dl_goff),
+            "doc_stream": _bin(doc_data, doc_goff),
+            "tf_stream": _bin(tf_data, tf_goff),
+            "dl_stream": _bin(dl_data, dl_goff),
             "pos_stream": pos_arr,
             "block_last_doc": _list_array(
                 doc_id[bends - 1] if n else np.empty(0, dtype=np.int64)
@@ -268,7 +315,42 @@ def _encode_one_file(
             "block_dl_off": _list_array(dl_boff),
         }
     )
-    n_postings = int(n)
+    max_salt = int(salt.max()) if n else 0
+    return out_tbl, n_groups, max_salt
+
+
+def _encode_one_file(
+    fsys, ofs, src_path: str, bucket: int, seg_root: str, block_size: int,
+    store_positions: bool,
+) -> dict:
+    """Read one sorted checkpoint file, encode every (term_h, salt) group,
+    write the segment parquet next to its siblings. Pure pyarrow/NumPy."""
+    import pyarrow.parquet as pq
+
+    cols = _CHECKPOINT_COLS if store_positions else _CHECKPOINT_COLS[:-1]
+    with fsys.open_input_file(src_path) as f:
+        tbl = pq.read_table(f, columns=cols)
+
+    n = tbl.num_rows
+    # v4 checkpoint: term identity is already an int64 hash — group-change
+    # detection runs straight on the numpy view, no dictionary decode
+    idx = tbl.column("term_h").to_numpy(zero_copy_only=False)
+    salt = tbl.column("salt").to_numpy(zero_copy_only=False)
+    doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    tf = tbl.column("tf").to_numpy(zero_copy_only=False)
+    doc_len = tbl.column("doc_len").to_numpy(zero_copy_only=False)
+    if store_positions:
+        # zero-copy slicing of the flat values buffer via the offsets buffer:
+        # rows are doc_id-sorted within each group (v3 checkpoint invariant),
+        # so a group's pos stream is ONE contiguous slice.
+        pos_off, pos_bytes = _pos_arrays(tbl, n)
+    else:
+        pos_off, pos_bytes = np.zeros(n + 1, dtype=np.int64), b""
+
+    out_tbl, n_groups, max_salt = encode_sorted_groups(
+        idx, salt, doc_id, tf, doc_len, pos_off, pos_bytes,
+        block_size, store_positions, src_path,
+    )
     base = os.path.basename(src_path)
     dest_dir = f"{seg_root.rstrip('/')}/bucket={bucket}"
     ofs.create_dir(dest_dir, recursive=True)
@@ -280,8 +362,8 @@ def _encode_one_file(
         "bucket": bucket,
         "src_file": base,
         "n_groups": int(n_groups),
-        "n_postings": n_postings,
-        "max_salt": int(salt.max()) if n else 0,
+        "n_postings": int(n),
+        "max_salt": max_salt,
         "out_bytes": int(sz),
     }
 
@@ -331,3 +413,136 @@ def encode_wave_direct(
         SUMMARY_SCHEMA,
     )
     return out.collect()
+
+
+def _merge_one_bucket(
+    bucket: int,
+    run_paths: list[str],
+    flat_dir: str,
+    seg_dir: str,
+    lex_dir: str,
+    block_size: int,
+    store_positions: bool,
+) -> dict:
+    """k-way merge one bucket's sorted runs -> ONE segment file + its
+    lexicon rows. Each run is sorted by (term_h, salt, doc_id) and the keys
+    are disjoint-by-doc across runs, so the global order is one stable
+    lexsort of the concatenated columns; position slices follow with one
+    vectorized byte gather."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fsys, _ = pyarrow_fs_for(flat_dir)
+    ofs, seg_root = pyarrow_fs_for(seg_dir)
+    _, lex_root = pyarrow_fs_for(lex_dir)
+
+    cols = _CHECKPOINT_COLS if store_positions else _CHECKPOINT_COLS[:-1]
+    tbls = []
+    for p in run_paths:
+        with fsys.open_input_file(p) as f:
+            tbls.append(pq.read_table(f, columns=cols))
+    tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+    del tbls
+    n = tbl.num_rows
+    idx = tbl.column("term_h").to_numpy(zero_copy_only=False)
+    salt = tbl.column("salt").to_numpy(zero_copy_only=False)
+    doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    tf = tbl.column("tf").to_numpy(zero_copy_only=False)
+    doc_len = tbl.column("doc_len").to_numpy(zero_copy_only=False)
+
+    # merge: signed-int64 lexsort matches both the runs' in-task sort and
+    # the JVM channel path's sortWithinPartitions order
+    order = np.lexsort((doc_id, salt, idx))
+    idx_s = idx[order]
+    salt_s = salt[order]
+    doc_s = doc_id[order]
+    tf_s = tf[order]
+    dl_s = doc_len[order]
+    if store_positions:
+        pos_off, pos_bytes = _pos_arrays(tbl, n)
+        pos_vals, pos_off_s = gather_slices(pos_bytes, pos_off, order)
+    else:
+        pos_vals, pos_off_s = b"", np.zeros(n + 1, dtype=np.int64)
+    del tbl
+
+    out_tbl, n_groups, max_salt = encode_sorted_groups(
+        idx_s, salt_s, doc_s, tf_s, dl_s, pos_off_s, pos_vals,
+        block_size, store_positions, f"bucket={bucket} runs",
+    )
+
+    dest_dir = f"{seg_root.rstrip('/')}/bucket={bucket}"
+    ofs.create_dir(dest_dir, recursive=True)
+    dest = f"{dest_dir}/part-merged.parquet"
+    with ofs.open_output_stream(dest) as out:
+        pq.write_table(out_tbl, out, compression="snappy")
+    sz = ofs.get_file_info(dest).size or 0
+
+    # in-task lexicon: groups are term-sorted, so per-term df is one reduceat
+    g_term = out_tbl.column("term_h").to_numpy(zero_copy_only=False)
+    g_df = out_tbl.column("df_part").to_numpy(zero_copy_only=False)
+    if n_groups:
+        tchange = np.flatnonzero(g_term[1:] != g_term[:-1]) + 1
+        tstarts = np.concatenate(([0], tchange)).astype(np.int64)
+        lex_term = g_term[tstarts]
+        lex_df = np.add.reduceat(g_df, tstarts)
+    else:
+        lex_term = lex_df = np.empty(0, dtype=np.int64)
+    lex_dest_dir = f"{lex_root.rstrip('/')}/bucket={bucket}"
+    ofs.create_dir(lex_dest_dir, recursive=True)
+    with ofs.open_output_stream(
+        f"{lex_dest_dir}/part-merged.parquet"
+    ) as out:
+        pq.write_table(
+            pa.table(
+                {
+                    "term_h": pa.array(lex_term, type=pa.int64()),
+                    "df": pa.array(lex_df, type=pa.int64()),
+                }
+            ),
+            out,
+            compression="snappy",
+        )
+
+    return {
+        "bucket": bucket,
+        "src_file": f"{len(run_paths)} runs",
+        "n_groups": int(n_groups),
+        "n_terms": int(len(lex_term)),
+        "n_postings": int(n),
+        "max_salt": max_salt,
+        "out_bytes": int(sz),
+    }
+
+
+def merge_encode_buckets(
+    spark: SparkSession,
+    flat_dir: str,
+    seg_dir: str,
+    lex_dir: str,
+    buckets: list[int],
+    block_size: int,
+    store_positions: bool,
+) -> list[dict]:
+    """Merge-encode the given buckets' sorted-runs checkpoint (one Spark
+    task per bucket, biggest buckets first). Writes segments AND the
+    per-bucket lexicon in-task; returns per-bucket summary dicts — the
+    caller commits them without running any further Spark job."""
+    files = list_bucket_files(flat_dir, buckets)
+    by_bucket: dict[int, list[tuple[str, int]]] = {}
+    for b, p, sz in files:
+        by_bucket.setdefault(b, []).append((p, sz))
+    work = sorted(
+        by_bucket.items(), key=lambda kv: -sum(s for _, s in kv[1])
+    )
+    if not work:
+        return []
+
+    def _run(item):
+        b, paths = item
+        return _merge_one_bucket(
+            b, [p for p, _ in paths], flat_dir, seg_dir, lex_dir,
+            block_size, store_positions,
+        )
+
+    sc = spark.sparkContext
+    return sc.parallelize(work, numSlices=len(work)).map(_run).collect()

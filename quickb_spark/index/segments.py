@@ -365,13 +365,22 @@ def build_index(
     cfg: EngineConfig | None = None,
     wave_size: int = 64,
     documents: DataFrame | None = None,
+    corpus_uri: str | None = None,
 ) -> None:
     """Build (or resume) the compressed index.
 
-    Input is either a pre-chunked `chunks` DataFrame or, preferably, the raw
-    `documents` table — the documents path uses the fused chunk+tokenize
-    kernel (index/flatten.py), halving JVM<->Python crossings; both mint
-    identical doc_ids.
+    Input is a pre-chunked `chunks` DataFrame, the raw `documents` table
+    (fused chunk+tokenize kernel, index/flatten.py), or — fastest —
+    `corpus_uri`: the documents table's parquet location, consumed by the
+    DIRECT phase 1 (index/p1_direct.py): batched pyarrow tasks that chunk,
+    tokenize and write per-bucket sorted runs without ever crossing the
+    JVM<->Python Arrow channel, k-way merge-encoded by phase 2
+    (p2_direct.merge_encode_buckets). All three paths mint bit-identical
+    doc_ids/term hashes/salts (tests/test_p1_direct.py) and produce
+    query-identical indexes. QKB_P1_CHANNEL=1 forces the in-channel
+    phase 1 even when corpus_uri is given (A/B control); an FS scheme
+    pyarrow cannot reach falls back to the channel path automatically
+    (which then needs chunks=/documents=).
     """
     if chunks is not None and documents is not None:
         raise ValueError("pass at most one of chunks= or documents=")
@@ -403,21 +412,45 @@ def build_index(
     # postings-wide shuffle. Persisted before phase 1 so a crashed build
     # resumes with the same salt assignment it started with.
     p1_needed = not fs.exists(join_path(flat_dir, "_SUCCESS"))
-    if p1_needed and chunks is None and documents is None:
+    direct_p1 = False
+    if p1_needed and corpus_uri and os.environ.get("QKB_P1_CHANNEL") != "1":
+        try:
+            from quickb_spark.index.p1_direct import list_parquet_files
+
+            direct_p1 = bool(list_parquet_files(corpus_uri))
+            if not direct_p1:
+                raise ValueError(f"no parquet files under {corpus_uri}")
+        except Exception as e:
+            print(
+                f"[build_index] direct phase-1 unavailable ({e!r}) — "
+                "falling back to the in-channel path",
+                flush=True,
+            )
+    if p1_needed and not direct_p1 and chunks is None and documents is None:
         raise ValueError(
-            "no input DataFrame and no existing flat checkpoint at "
-            f"{flat_dir} — pass chunks= or documents="
+            "no usable input (chunks=/documents=/corpus_uri=) and no "
+            f"existing flat checkpoint at {flat_dir}"
         )
     if p1_needed and not fs.exists(hot_path):
         frac = _HOT_PRESAMPLE_FRACTION
-        sample_flat = (
-            flat_postings_from_documents(
-                documents.sample(False, frac, seed=42), cfg
+        if direct_p1:
+            from quickb_spark.index.p1_direct import presample_hot_direct
+
+            hot, est_postings = presample_hot_direct(
+                spark, corpus_uri, cfg, frac, _HOT_SAMPLE_MARGIN,
+                _HOT_MAX_TERMS,
             )
-            if documents is not None
-            else flat_postings_from_chunks(chunks.sample(False, frac, seed=42))
-        )
-        hot, est_postings = _presample_hot_terms(sample_flat, frac, cfg)
+        else:
+            sample_flat = (
+                flat_postings_from_documents(
+                    documents.sample(False, frac, seed=42), cfg
+                )
+                if documents is not None
+                else flat_postings_from_chunks(
+                    chunks.sample(False, frac, seed=42)
+                )
+            )
+            hot, est_postings = _presample_hot_terms(sample_flat, frac, cfg)
         fs.write_text_atomic(
             hot_path,
             json.dumps(
@@ -456,7 +489,14 @@ def build_index(
     # reuse point, which also holds at 100 TB where executor memory could
     # never cache the postings.)
     p1_metrics: dict | None = None
-    if p1_needed:
+    if p1_needed and direct_p1:
+        from quickb_spark.index.p1_direct import build_flat_runs
+
+        p1_metrics = build_flat_runs(
+            spark, corpus_uri, flat_dir,
+            join_path(index_dir, "doc_stats"), cfg, hot_terms,
+        )
+    elif p1_needed:
         flat = (
             flat_postings_from_documents(documents, cfg)
             if documents is not None
@@ -493,6 +533,8 @@ def build_index(
     _mark("phase1 flat checkpoint")
 
     # ---- phase 1b: doc stats + corpus scalars ----------------------------
+    from quickb_spark.index.p1_direct import RUNS_MARKER
+
     flat_all = spark.read.parquet(flat_dir)
     if "salt" not in flat_all.columns or "term_h" not in flat_all.columns:
         raise RuntimeError(
@@ -501,7 +543,39 @@ def build_index(
             "index dir and rebuild; resuming across format versions would "
             "silently mis-encode"
         )
-    if not fs.exists(stats_path):
+    runs_mode = fs.exists(join_path(flat_dir, RUNS_MARKER))
+    if runs_mode and not fs.exists(stats_path):
+        # sorted-runs layout: phase-1 tasks already wrote doc_stats runs; the
+        # corpus scalars came back with the task summaries (or, on resume,
+        # one agg over doc_stats + a parquet metadata-only postings count)
+        if p1_metrics is not None:
+            n_docs = p1_metrics["n_docs"]
+            avgdl = p1_metrics["sum_dl"] / n_docs if n_docs else 0.0
+            total_postings = p1_metrics["n_postings"]
+        else:
+            row = (
+                spark.read.parquet(join_path(index_dir, "doc_stats"))
+                .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+                .collect()[0]
+            )
+            n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+            total_postings = flat_all.count()
+        fs.write_text_atomic(
+            stats_path,
+            json.dumps(
+                {
+                    "format_version": FORMAT_VERSION,
+                    "n_docs": n_docs,
+                    "avgdl": avgdl,
+                    "n_postings": total_postings,
+                    "term_buckets": nb,
+                    "salt_buckets": cfg.index.salt_buckets,
+                    "block_size": cfg.index.block_size,
+                    "hot_terms": hot_terms,
+                }
+            ),
+        )
+    elif not fs.exists(stats_path):
         # doc-level stats via the `first` marker: a narrow filtered scan of
         # the checkpoint — no distinct-shuffle over all postings. Small scan
         # bins: at default 128MB bins this scan gets fewer tasks than cores
@@ -561,12 +635,19 @@ def build_index(
     segments_dir = join_path(index_dir, "segments")
     force_shuffle = os.environ.get("QKB_P2_SHUFFLE") == "1"
     force_channel = os.environ.get("QKB_P2_CHANNEL") == "1"
-    mode = "shuffle" if force_shuffle else (
-        "channel" if force_channel else "direct"
-    )
+    if runs_mode:
+        # sorted-runs checkpoints are k-way merge-encoded; the channel
+        # encoders can only consume them through a full repartition+sort
+        # (groups are split across runs), so both force-flags map to the
+        # shuffle path here
+        mode = "shuffle" if (force_shuffle or force_channel) else "merge"
+    else:
+        mode = "shuffle" if force_shuffle else (
+            "channel" if force_channel else "direct"
+        )
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     prev_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
-    if pending and mode != "direct":
+    if pending and mode in ("shuffle", "channel"):
         # channel modes: scan partition sizing is the whole game for a
         # CPU-bound Python encode — bin ~2x the MEDIAN checkpoint file so
         # each (uniform, subgroup-sized) file becomes one balanced task;
@@ -641,7 +722,66 @@ def _run_waves(
     for wave_start in range(0, len(pending), wave_size):
         wave = pending[wave_start : wave_start + wave_size]
         t0 = time.perf_counter()
-        if mode == "direct":
+        if mode == "merge":
+            # wipe UNCOMMITTED segment + lexicon bucket dirs, then one task
+            # per bucket k-way merges its sorted runs and writes segment AND
+            # lexicon in-task — commits come straight from the summaries, so
+            # the wave needs NO further Spark job at all
+            for d in (segments_dir, join_path(index_dir, "lexicon")):
+                if fs.exists(d):
+                    existing = {
+                        x for x in fs.listdir(d) if x.startswith("bucket=")
+                    }
+                    for b in wave:
+                        if f"bucket={b}" in existing:
+                            fs.delete(join_path(d, f"bucket={b}"))
+            summaries = None
+            try:
+                from quickb_spark.index.p2_direct import merge_encode_buckets
+
+                summaries = merge_encode_buckets(
+                    spark, flat_dir, segments_dir,
+                    join_path(index_dir, "lexicon"), wave,
+                    cfg.index.block_size, cfg.index.store_positions,
+                )
+            except Exception as e:
+                print(
+                    f"[build_index] merge phase-2 unavailable ({e!r}) — "
+                    "falling back to the shuffle channel encoder",
+                    flush=True,
+                )
+                sizes = sorted(fs.file_sizes(flat_dir))
+                p50 = sizes[len(sizes) // 2] if sizes else 0
+                bin_bytes = max(4 << 20, 2 * p50)
+                spark.conf.set("spark.sql.files.maxPartitionBytes", str(bin_bytes))
+                spark.conf.set("spark.sql.files.openCostInBytes", str(bin_bytes // 2))
+                _encode_wave_channel(
+                    spark, flat_all, segments_dir, wave, g, nb, cfg, True
+                )
+            if summaries is not None:
+                _mark(f"phase2 merge wave {wave[0]}-{wave[-1]}")
+                by_bucket = {s["bucket"]: s for s in summaries}
+                build_ms = int(
+                    (time.perf_counter() - t0) * 1000 / max(len(wave), 1)
+                )
+                for b in wave:
+                    s = by_bucket.get(b)
+                    commits[b] = {
+                        "segment_id": f"seg-{b:05d}",
+                        "partition_id": b,
+                        "salt": int(s["max_salt"]) if s else 0,
+                        "term_count": int(s["n_terms"]) if s else 0,
+                        "posting_count": int(s["n_postings"]) if s else 0,
+                        "input_rows": int(s["n_postings"]) if s else 0,
+                        "build_time_ms": build_ms,
+                        "checkpoint_path": f"segments/bucket={b}",
+                        "status": "done",
+                        "committed_at": time.time(),
+                    }
+                save_commits(fs, index_dir, commits)
+                _mark("phase2 meta commits")
+                continue
+        elif mode == "direct":
             # idempotent resume: wipe UNCOMMITTED bucket dirs before the
             # direct tasks write into them (the channel path gets the same
             # effect from dynamic partition overwrite)

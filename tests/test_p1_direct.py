@@ -1,0 +1,222 @@
+"""Direct (no-Arrow-channel) build path: bit-identity + index equivalence.
+
+The direct phase 1 (index/p1_direct.py) mints doc_ids, term hashes and
+salts in Python; the channel phase 1 mints them with JVM expressions. These
+tests pin (a) bit-identity of every hash the two paths share, and (b) full
+index equivalence — stats, doc stats, lexicon, decoded posting lists,
+positions, and query results — between an index built via
+`build_index(corpus_uri=...)` (direct p1 + k-way merge p2) and one built
+via `build_index(documents=...)` (channel p1 + per-file direct p2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickb_spark.config import EngineConfig, IndexConfig
+from quickb_spark.corpus import fixture_queries, generate_documents_df
+from quickb_spark.functions.hashing import xxhash64 as xxh_str
+from quickb_spark.index.encode import decode_posting_list, decode_positions
+from quickb_spark.index.p1_direct import list_parquet_files, plan_groups
+from quickb_spark.index.segments import build_index, load_stats
+from quickb_spark.index.xxh import chain_strings, hash_int_tail, hash_long_array
+from quickb_spark.query.searcher import Searcher
+
+N_DOCS = 400
+
+# pinned hot set: the two paths estimate hot terms from DIFFERENT sample
+# designs (row-sample vs file-sample) — equivalence must be tested under
+# the same salt assignment, so both builds read this pre-seeded file
+_HOT = {"hot_terms": ["def", "return", "self"], "sample_fraction": 0.02,
+        "est_postings": 60_000}
+
+
+def _cfg() -> EngineConfig:
+    return EngineConfig(
+        index=IndexConfig(
+            term_buckets=8, salt_buckets=4,
+            hot_term_min_df=5, hot_term_doc_fraction=0.02,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("p1corpus") / "documents")
+    generate_documents_df(spark, N_DOCS, partitions=6).write.parquet(path)
+    return path
+
+
+def _seed_hot(index_dir: str) -> None:
+    os.makedirs(os.path.join(index_dir, "meta"), exist_ok=True)
+    with open(os.path.join(index_dir, "meta", "hot_terms.json"), "w") as f:
+        json.dump(_HOT, f)
+
+
+@pytest.fixture(scope="module")
+def both_indexes(spark, corpus, tmp_path_factory):
+    root = tmp_path_factory.mktemp("p1idx")
+    idx_ch = str(root / "channel")
+    idx_di = str(root / "direct")
+    _seed_hot(idx_ch)
+    _seed_hot(idx_di)
+    build_index(
+        spark, index_dir=idx_ch, cfg=_cfg(),
+        documents=spark.read.parquet(corpus),
+    )
+    build_index(spark, index_dir=idx_di, cfg=_cfg(), corpus_uri=corpus)
+    return idx_ch, idx_di
+
+
+def test_hash_bit_identity(spark):
+    rows = [
+        ("r/alpha", "src/a.py", "c0ffee01", 0),
+        ("r/alpha", "src/a.py", "c0ffee01", 7),
+        ("r/βeta", "deep/ünïcode path.md", "deadbeef", 2),
+        ("", "", "", 0),
+        ("r", "p", "c", 2**31 - 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, chunk_idx int"
+    )
+    got = df.select(
+        F.xxhash64("repo", "path", "commit", "chunk_idx").alias("h4"),
+        F.xxhash64("repo").alias("h1"),
+    ).collect()
+    seeds = np.array(
+        [chain_strings((r, p, c)) for r, p, c, _ in rows], dtype=np.int64
+    )
+    idxs = np.array([i for *_, i in rows], dtype=np.int64)
+    want4 = hash_int_tail(idxs, seeds)
+    for row, w4, (r, *_rest) in zip(got, want4, rows):
+        assert row["h4"] == int(w4)
+        assert row["h1"] == xxh_str(r)
+    # long path + pmod (the salt column)
+    longs = [0, 1, -1, 2**62, -(2**62), 42]
+    ldf = spark.createDataFrame([(v,) for v in longs], "v long")
+    got_l = ldf.select(
+        F.xxhash64("v").alias("h"),
+        F.pmod(F.xxhash64("v"), F.lit(4)).alias("s"),
+    ).collect()
+    want_l = hash_long_array(np.array(longs, dtype=np.int64))
+    want_s = want_l % np.int64(4)
+    for row, wh, ws in zip(got_l, want_l, want_s):
+        assert row["h"] == int(wh)
+        assert row["s"] == int(ws)
+
+
+def test_plan_groups_covers_all_files_once(corpus):
+    files = list_parquet_files(corpus)
+    assert files and files == sorted(files)
+    groups = plan_groups(files, 4)
+    flat = [p for g in groups for p in g]
+    assert sorted(flat) == sorted(p for p, _ in files)
+    # deterministic
+    assert plan_groups(files, 4) == groups
+
+
+def test_stats_and_doc_stats_identical(spark, both_indexes):
+    idx_ch, idx_di = both_indexes
+    s_ch, s_di = load_stats(idx_ch), load_stats(idx_di)
+    for k in ("n_docs", "avgdl", "n_postings", "format_version"):
+        assert s_ch[k] == s_di[k], k
+    ds = [
+        sorted(
+            (r["doc_id"], r["doc_len"])
+            for r in spark.read.parquet(os.path.join(p, "doc_stats")).collect()
+        )
+        for p in (idx_ch, idx_di)
+    ]
+    assert ds[0] == ds[1]
+
+
+def test_lexicon_identical(spark, both_indexes):
+    idx_ch, idx_di = both_indexes
+    lex = [
+        sorted(
+            (r["bucket"], r["term_h"], r["df"])
+            for r in spark.read.parquet(os.path.join(p, "lexicon")).collect()
+        )
+        for p in (idx_ch, idx_di)
+    ]
+    assert lex[0] == lex[1] and len(lex[0]) > 100
+
+
+def _postings_map(spark, index_dir: str, term_hs: list[int]):
+    """term_h -> sorted [(doc_id, tf, dl, positions-tuple)] merged across
+    salt groups and partial segment rows."""
+    stats = load_stats(index_dir)
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "segments"))
+        .filter(F.col("term_h").isin(term_hs))
+        .select("term_h", "doc_stream", "tf_stream", "dl_stream",
+                "pos_stream", "df_part")
+        .collect()
+    )
+    out: dict[int, list] = {h: [] for h in term_hs}
+    for r in rows:
+        n = int(r["df_part"])
+        dids, tfs, dls = decode_posting_list(
+            bytes(r["doc_stream"]), bytes(r["tf_stream"]), n,
+            bytes(r["dl_stream"]), stats["block_size"],
+        )
+        poss = decode_positions(bytes(r["pos_stream"]), tfs)
+        out[int(r["term_h"])].extend(
+            (int(d), int(t), int(l), tuple(p.tolist()))
+            for d, t, l, p in zip(dids, tfs, dls, poss)
+        )
+    return {h: sorted(v) for h, v in out.items()}
+
+
+def test_posting_lists_identical(spark, both_indexes):
+    idx_ch, idx_di = both_indexes
+    lex = (
+        spark.read.parquet(os.path.join(idx_ch, "lexicon"))
+        .orderBy(F.desc("df"), "term_h")
+        .limit(40)
+        .collect()
+    )
+    # hottest terms (salted, multi-block) + the pinned hot set
+    term_hs = sorted({int(r["term_h"]) for r in lex} |
+                     {xxh_str(t) for t in _HOT["hot_terms"]})
+    pm_ch = _postings_map(spark, idx_ch, term_hs)
+    pm_di = _postings_map(spark, idx_di, term_hs)
+    assert pm_ch == pm_di
+    assert sum(len(v) for v in pm_ch.values()) > 500
+
+
+def test_query_results_identical(spark, both_indexes):
+    idx_ch, idx_di = both_indexes
+    qs = fixture_queries()[:12]
+    res = []
+    for p in (idx_ch, idx_di):
+        rows = Searcher(spark, p).topk(qs, k=10).collect()
+        res.append(
+            sorted(
+                (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in rows
+            )
+        )
+    assert res[0] == res[1] and len(res[0]) > 50
+
+
+def test_runs_checkpoint_resume(spark, both_indexes, tmp_path):
+    """A direct-built index re-encodes from its sorted-runs checkpoint with
+    no input at all (commit ledger wiped -> full phase-2 re-merge)."""
+    _, idx_di = both_indexes
+    idx_copy = str(tmp_path / "resume")
+    shutil.copytree(idx_di, idx_copy)
+    shutil.rmtree(os.path.join(idx_copy, "segments"))
+    shutil.rmtree(os.path.join(idx_copy, "lexicon"))
+    os.remove(os.path.join(idx_copy, "meta", "commits.json"))
+    build_index(spark, index_dir=idx_copy, cfg=_cfg())
+    qs = fixture_queries()[:6]
+    a = sorted(map(tuple, Searcher(spark, idx_di).topk(qs, k=5).collect()))
+    b = sorted(map(tuple, Searcher(spark, idx_copy).topk(qs, k=5).collect()))
+    assert a == b and len(a) > 10
