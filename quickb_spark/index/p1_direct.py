@@ -72,7 +72,11 @@ from quickb_spark.index.p2_direct import (
     gather_slices as _gather_slices,
     pyarrow_fs_for,
 )
-from quickb_spark.index.xxh import chain_strings, hash_int_tail, hash_long_array
+from quickb_spark.index.xxh import (
+    hash_bytes_vec,
+    hash_int_tail,
+    hash_long_array,
+)
 
 __all__ = [
     "list_parquet_files",
@@ -149,10 +153,15 @@ def _pos_slices(flat_pos: list[int], posting_tfs: list[int]):
 
 class _TaskAccumulator:
     """Per-task posting accumulator: Python-object state lives only for one
-    sub-batch (~2k docs); flushes produce compact numpy columns."""
+    sub-batch (~2k docs); flushes produce compact numpy columns. Terms are
+    interned to LOCAL ids in the hot loop; the XXH64 of each NEW distinct
+    term is computed once per flush with the vectorized batch hash
+    (hash_bytes_vec) — no scalar hashing on the per-posting path."""
 
     def __init__(self) -> None:
         self.vocab: dict[str, int] = {}
+        self.new_terms: list[str] = []
+        self.id2hash = np.empty(0, dtype=np.int64)
         self.reset()
         # flushed sub-batches
         self.parts: list[tuple] = []
@@ -160,7 +169,7 @@ class _TaskAccumulator:
         self.chunk_dls: list[np.ndarray] = []
 
     def reset(self) -> None:
-        self.term_h: list[int] = []
+        self.term_id: list[int] = []
         self.tfs: list[int] = []
         self.flat_pos: list[int] = []
         self.c_seed: list[int] = []
@@ -175,12 +184,13 @@ class _TaskAccumulator:
         if not pos:
             return
         vocab = self.vocab
-        th = self.term_h
+        tid_list = self.term_id
         for t, plist in pos.items():
-            h = vocab.get(t)
-            if h is None:
-                h = vocab[t] = _xxh_str(t)
-            th.append(h)
+            tid = vocab.get(t)
+            if tid is None:
+                tid = vocab[t] = len(vocab)
+                self.new_terms.append(t)
+            tid_list.append(tid)
             self.tfs.append(len(plist))
             self.flat_pos.extend(plist)
         self.c_seed.append(prefix_seed)
@@ -191,6 +201,12 @@ class _TaskAccumulator:
     def flush(self) -> None:
         if not self.c_seed:
             return
+        if self.new_terms:
+            new_h = hash_bytes_vec(
+                [t.encode("utf-8") for t in self.new_terms]
+            )
+            self.id2hash = np.concatenate([self.id2hash, new_h])
+            self.new_terms = []
         seeds = np.asarray(self.c_seed, dtype=np.int64)
         idxs = np.asarray(self.c_idx, dtype=np.int64)
         dls = np.asarray(self.c_dl, dtype=np.int64)
@@ -199,7 +215,7 @@ class _TaskAccumulator:
         buf, off = _pos_slices(self.flat_pos, self.tfs)
         self.parts.append(
             (
-                np.asarray(self.term_h, dtype=np.int64),
+                self.id2hash[np.asarray(self.term_id, dtype=np.int64)],
                 np.repeat(doc_ids, nt),
                 np.asarray(self.tfs, dtype=np.int32),
                 np.repeat(dls, nt),
@@ -273,18 +289,33 @@ def _p1_task(
                 batch_size=sub_batch_docs, columns=_DOC_COLS
             ):
                 d = batch.to_pydict()
-                for repo, p, commit, lang, content in zip(
-                    d["repo"], d["path"], d["commit"], d["lang"], d["content"]
-                ):
-                    if not content:
-                        continue
+                live = [
+                    (repo, p, c, lang, content)
+                    for repo, p, c, lang, content in zip(
+                        d["repo"], d["path"], d["commit"], d["lang"],
+                        d["content"],
+                    )
+                    if content
+                ]
+                if not live:
+                    continue
+                # doc_id prefix = chained xxhash64(repo, path, commit):
+                # repo hashes are dict-cached (few repos), the path and
+                # commit links run as TWO vectorized batch hashes
+                seeds1 = np.empty(len(live), dtype=np.int64)
+                for i, (repo, *_rest) in enumerate(live):
                     h1 = repo_h.get(repo)
                     if h1 is None:
                         h1 = repo_h[repo] = _xxh_str(repo)
-                    prefix = _xxh_str(
-                        commit,
-                        seed=_xxh_str(p, seed=h1 & (2**64 - 1)) & (2**64 - 1),
-                    )
+                    seeds1[i] = h1
+                h2 = hash_bytes_vec(
+                    [p.encode("utf-8") for _, p, *_r in live], seeds1
+                )
+                prefixes = hash_bytes_vec(
+                    [c.encode("utf-8") for _, _, c, *_r in live], h2
+                )
+                for (repo, p, c, lang, content), prefix in zip(live, prefixes):
+                    prefix = int(prefix)
                     for ci, text in enumerate(
                         split_document(content, lang, chunker_cfg)
                     ):
@@ -386,9 +417,13 @@ def build_flat_runs(
     if n_tasks is None:
         total = sum(s for _, s in files)
         # ~2-4 tasks per core, but never tiny tasks (<16MB of input) nor
-        # tasks above ~256MB of input (worker memory ceiling)
+        # tasks above ~256MB of input (worker memory ceiling); small corpora
+        # still spread over every core (warm-up + tests exercise all slots)
         n_tasks = max(
-            min(4 * cores, total // (16 << 20)), total // (256 << 20), 1
+            min(4 * cores, total // (16 << 20)),
+            total // (256 << 20),
+            min(len(files), cores),
+            1,
         )
     groups = plan_groups(files, int(n_tasks))
 

@@ -38,7 +38,7 @@ _P3 = np.uint64(0x165667B19E3779F9)
 _P4 = np.uint64(0x85EBCA77C2B2AE63)
 _P5 = np.uint64(0x27D4EB2F165667C5)
 
-__all__ = ["hash_long_array", "hash_int_tail", "chain_strings"]
+__all__ = ["hash_long_array", "hash_int_tail", "chain_strings", "hash_bytes_vec"]
 
 
 def _rotl(x: np.ndarray, r: int) -> np.ndarray:
@@ -76,6 +76,86 @@ def hash_int_tail(ints: np.ndarray, seeds: np.ndarray) -> np.ndarray:
         h = s + _P5 + np.uint64(4)
         h = h ^ (u * _P1)
         h = _rotl(h, 23) * _P2 + _P3
+        return _fmix(h).view(np.int64)
+
+
+def _round_vec(acc: np.ndarray, lane: np.ndarray) -> np.ndarray:
+    return _rotl(acc + lane * _P2, 31) * _P1
+
+
+def hash_bytes_vec(datas: list[bytes], seeds=42) -> np.ndarray:
+    """Vectorized XXH64 over a batch of VARIABLE-LENGTH byte strings with
+    scalar or per-element seeds -> int64 array, bit-identical to
+    functions.hashing.xxhash64 (asserted in tests/test_p1_direct.py).
+
+    The scalar pure-Python hash costs ~25us per call; at two chained calls
+    per document (path, commit) that is real build time. Here the batch is
+    padded into one (n, P) byte matrix and every XXH64 step runs as masked
+    numpy ops: stripes/tails shorter rows don't have are computed on
+    garbage lanes and discarded by np.where — arithmetic is cheaper than
+    branching. Memory is n*P bytes (P = padded max length), so callers
+    batch ~2k short strings at a time."""
+    n = len(datas)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(d) for d in datas), np.int64, n)
+    max_len = int(lens.max())
+    P = max(32, ((max_len + 7) // 8) * 8)
+    mat = np.zeros((n, P), dtype=np.uint8)
+    mask = np.arange(P) < lens[:, None]
+    mat[mask] = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    u64 = mat.view(np.uint64)  # (n, P//8) little-endian lanes
+    u32 = mat.view(np.uint32)
+    s = (
+        np.broadcast_to(np.asarray(seeds, dtype=np.int64), (n,))
+        .astype(np.int64)
+        .view(np.uint64)
+    )
+    rows = np.arange(n)
+    ln = lens.view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = s + _P5
+        big = lens >= 32
+        if big.any():
+            v1 = s + _P1 + _P2
+            v2 = s + _P2
+            v3 = s.copy()
+            v4 = s - _P1
+            for k in range(max_len // 32):
+                act = lens >= 32 * (k + 1)
+                b = 4 * k
+                v1 = np.where(act, _round_vec(v1, u64[:, b]), v1)
+                v2 = np.where(act, _round_vec(v2, u64[:, b + 1]), v2)
+                v3 = np.where(act, _round_vec(v3, u64[:, b + 2]), v3)
+                v4 = np.where(act, _round_vec(v4, u64[:, b + 3]), v4)
+            hb = _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+            z = np.zeros(n, dtype=np.uint64)
+            for v in (v1, v2, v3, v4):
+                hb = (hb ^ _round_vec(z, v)) * _P1 + _P4
+            h = np.where(big, hb, h)
+        h = h + ln
+        base = (lens // 32) * 32
+        z = np.zeros(n, dtype=np.uint64)
+        for k in range(3):  # <=3 8-byte tail lanes (rem < 32)
+            act = (lens - base) >= 8 * (k + 1)
+            if not act.any():
+                break
+            off = np.minimum((base + 8 * k) // 8, P // 8 - 1)
+            nh = h ^ _round_vec(z, u64[rows, off])
+            h = np.where(act, _rotl(nh, 27) * _P1 + _P4, h)
+        done = base + ((lens - base) // 8) * 8
+        act = (lens - done) >= 4
+        off4 = np.minimum(done // 4, P // 4 - 1)
+        nh = h ^ (u32[rows, off4].astype(np.uint64) * _P1)
+        h = np.where(act, _rotl(nh, 23) * _P2 + _P3, h)
+        done = done + np.where(act, 4, 0)
+        for k in range(3):  # <=3 single tail bytes (rem < 4)
+            act = (lens - done) >= k + 1
+            if not act.any():
+                break
+            off = np.minimum(done + k, P - 1)
+            nh = h ^ (mat[rows, off].astype(np.uint64) * _P5)
+            h = np.where(act, _rotl(nh, 11) * _P1, h)
         return _fmix(h).view(np.int64)
 
 

@@ -25,7 +25,12 @@ from quickb_spark.functions.hashing import xxhash64 as xxh_str
 from quickb_spark.index.encode import decode_posting_list, decode_positions
 from quickb_spark.index.p1_direct import list_parquet_files, plan_groups
 from quickb_spark.index.segments import build_index, load_stats
-from quickb_spark.index.xxh import chain_strings, hash_int_tail, hash_long_array
+from quickb_spark.index.xxh import (
+    chain_strings,
+    hash_bytes_vec,
+    hash_int_tail,
+    hash_long_array,
+)
 from quickb_spark.query.searcher import Searcher
 
 N_DOCS = 400
@@ -109,6 +114,19 @@ def test_hash_bit_identity(spark):
     for row, wh, ws in zip(got_l, want_l, want_s):
         assert row["h"] == int(wh)
         assert row["s"] == int(ws)
+
+
+def test_hash_bytes_vec_matches_scalar():
+    import random
+
+    rng = random.Random(11)
+    cases = [b"", b"a", b"x" * 31, b"y" * 32, b"z" * 33, b"w" * 100,
+             "ünïcode päth/ファイル.py".encode()]
+    cases += [bytes(rng.randrange(256) for _ in range(L)) for L in range(70)]
+    seeds = [42] + [rng.randrange(-(2**63), 2**63) for _ in cases[1:]]
+    got = hash_bytes_vec(cases, np.array(seeds, dtype=np.int64))
+    for c, s, g in zip(cases, seeds, got):
+        assert int(g) == xxh_str(c, seed=s & (2**64 - 1))
 
 
 def test_plan_groups_covers_all_files_once(corpus):
