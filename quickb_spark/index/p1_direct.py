@@ -425,6 +425,10 @@ def build_flat_runs(
             min(len(files), cores),
             1,
         )
+        # round up to a multiple of cores: 29 equal tasks on 16 cores run
+        # as a full wave plus a 13-wide straggler wave (~10% idle); 32 run
+        # as two full waves
+        n_tasks = -(-n_tasks // cores) * cores
     groups = plan_groups(files, int(n_tasks))
 
     # wipe any partial previous attempt (no _SUCCESS => not resumable)

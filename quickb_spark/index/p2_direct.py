@@ -258,9 +258,10 @@ def encode_sorted_groups(
     def _stream(vals_u):
         """(data bytes, group offsets[n_groups+1], per-block byte offsets
         relative to each group's stream start)."""
-        data = varbyte_encode(vals_u)
+        lens = varbyte_lengths(vals_u)
+        data = varbyte_encode(vals_u, lens)
         cum = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(varbyte_lengths(vals_u), out=cum[1:])
+        np.cumsum(lens, out=cum[1:])
         goff = cum[np.append(starts, n)]
         boff = cum[bstarts] - np.repeat(goff[:-1], nblocks)
         return data, goff, boff
@@ -423,14 +424,28 @@ def _merge_one_bucket(
     lex_dir: str,
     block_size: int,
     store_positions: bool,
+    nsplits: int = 1,
+    split_id: int = 0,
 ) -> dict:
-    """k-way merge one bucket's sorted runs -> ONE segment file + its
+    """k-way merge one bucket's sorted runs -> one segment file + its
     lexicon rows. Each run is sorted by (term_h, salt, doc_id) and the keys
     are disjoint-by-doc across runs, so the global order is one stable
     lexsort of the concatenated columns; position slices follow with one
-    vectorized byte gather."""
+    vectorized byte gather.
+
+    When nsplits > 1, this task handles only the TERMS with
+    pmod(xxhash64(term_h), nsplits) == split_id: term-hash bucketing is
+    Zipf-skewed (one popular term's postings all share a bucket), so big
+    buckets would otherwise become the wave's straggler. Splitting is
+    term-granular — every (term, salt) group stays whole, each term's
+    lexicon row is written exactly once, and the extra cost is only
+    re-reading the bucket's runs per split (runs are a few MB). At a
+    larger scale the next step down is (term, salt)-granular splitting
+    with a df-summing lexicon read; not needed at this corpus size."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from quickb_spark.index.xxh import hash_long_array
 
     fsys, _ = pyarrow_fs_for(flat_dir)
     ofs, seg_root = pyarrow_fs_for(seg_dir)
@@ -452,7 +467,15 @@ def _merge_one_bucket(
 
     # merge: signed-int64 lexsort matches both the runs' in-task sort and
     # the JVM channel path's sortWithinPartitions order
-    order = np.lexsort((doc_id, salt, idx))
+    if nsplits > 1:
+        sel = np.flatnonzero(
+            hash_long_array(idx) % np.int64(nsplits) == split_id
+        )
+        order = sel[
+            np.lexsort((doc_id[sel], salt[sel], idx[sel]))
+        ]
+    else:
+        order = np.lexsort((doc_id, salt, idx))
     idx_s = idx[order]
     salt_s = salt[order]
     doc_s = doc_id[order]
@@ -462,7 +485,7 @@ def _merge_one_bucket(
         pos_off, pos_bytes = _pos_arrays(tbl, n)
         pos_vals, pos_off_s = gather_slices(pos_bytes, pos_off, order)
     else:
-        pos_vals, pos_off_s = b"", np.zeros(n + 1, dtype=np.int64)
+        pos_vals, pos_off_s = b"", np.zeros(len(order) + 1, dtype=np.int64)
     del tbl
 
     out_tbl, n_groups, max_salt = encode_sorted_groups(
@@ -472,7 +495,7 @@ def _merge_one_bucket(
 
     dest_dir = f"{seg_root.rstrip('/')}/bucket={bucket}"
     ofs.create_dir(dest_dir, recursive=True)
-    dest = f"{dest_dir}/part-merged.parquet"
+    dest = f"{dest_dir}/part-m{split_id:04d}.parquet"
     with ofs.open_output_stream(dest) as out:
         pq.write_table(out_tbl, out, compression="snappy")
     sz = ofs.get_file_info(dest).size or 0
@@ -490,7 +513,7 @@ def _merge_one_bucket(
     lex_dest_dir = f"{lex_root.rstrip('/')}/bucket={bucket}"
     ofs.create_dir(lex_dest_dir, recursive=True)
     with ofs.open_output_stream(
-        f"{lex_dest_dir}/part-merged.parquet"
+        f"{lex_dest_dir}/part-m{split_id:04d}.parquet"
     ) as out:
         pq.write_table(
             pa.table(
@@ -505,10 +528,10 @@ def _merge_one_bucket(
 
     return {
         "bucket": bucket,
-        "src_file": f"{len(run_paths)} runs",
+        "src_file": f"{len(run_paths)} runs (split {split_id}/{nsplits})",
         "n_groups": int(n_groups),
         "n_terms": int(len(lex_term)),
-        "n_postings": int(n),
+        "n_postings": int(len(order)),
         "max_salt": max_salt,
         "out_bytes": int(sz),
     }
@@ -522,27 +545,52 @@ def merge_encode_buckets(
     buckets: list[int],
     block_size: int,
     store_positions: bool,
+    target_bytes: int | None = None,
 ) -> list[dict]:
-    """Merge-encode the given buckets' sorted-runs checkpoint (one Spark
-    task per bucket, biggest buckets first). Writes segments AND the
-    per-bucket lexicon in-task; returns per-bucket summary dicts — the
-    caller commits them without running any further Spark job."""
+    """Merge-encode the given buckets' sorted-runs checkpoint, biggest work
+    first. A bucket whose runs exceed ~1/(4*cores) of the wave's bytes is
+    split into term-granular sub-tasks (Zipf skew makes the hottest bucket
+    several times the median — unsplit it IS the wave's makespan). Writes
+    segments AND the per-bucket lexicon in-task; returns per-BUCKET summary
+    dicts (sub-task summaries pre-aggregated here) — the caller commits
+    them without running any further Spark job."""
     files = list_bucket_files(flat_dir, buckets)
     by_bucket: dict[int, list[tuple[str, int]]] = {}
     for b, p, sz in files:
         by_bucket.setdefault(b, []).append((p, sz))
-    work = sorted(
-        by_bucket.items(), key=lambda kv: -sum(s for _, s in kv[1])
-    )
-    if not work:
+    if not by_bucket:
         return []
+    cores = spark.sparkContext.defaultParallelism
+    total = sum(sz for _, p in by_bucket.items() for _, sz in p)
+    target = target_bytes or max(8 << 20, total // (4 * cores))
+    work: list[tuple[int, list[str], int, int, float]] = []
+    for b, paths in by_bucket.items():
+        bsize = sum(s for _, s in paths)
+        nsplits = max(1, min(64, round(bsize / target)))
+        for k in range(nsplits):
+            work.append(
+                (b, [p for p, _ in paths], nsplits, k, bsize / nsplits)
+            )
+    work.sort(key=lambda t: -t[4])
 
     def _run(item):
-        b, paths = item
+        b, paths, nsplits, k, _est = item
         return _merge_one_bucket(
-            b, [p for p, _ in paths], flat_dir, seg_dir, lex_dir,
-            block_size, store_positions,
+            b, paths, flat_dir, seg_dir, lex_dir,
+            block_size, store_positions, nsplits, k,
         )
 
     sc = spark.sparkContext
-    return sc.parallelize(work, numSlices=len(work)).map(_run).collect()
+    parts = sc.parallelize(work, numSlices=len(work)).map(_run).collect()
+    agg: dict[int, dict] = {}
+    for s in parts:
+        a = agg.get(s["bucket"])
+        if a is None:
+            agg[s["bucket"]] = dict(s)
+        else:
+            a["n_groups"] += s["n_groups"]
+            a["n_terms"] += s["n_terms"]
+            a["n_postings"] += s["n_postings"]
+            a["max_salt"] = max(a["max_salt"], s["max_salt"])
+            a["out_bytes"] += s["out_bytes"]
+    return list(agg.values())

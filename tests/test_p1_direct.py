@@ -224,6 +224,58 @@ def test_query_results_identical(spark, both_indexes):
     assert res[0] == res[1] and len(res[0]) > 50
 
 
+def test_split_merge_identical(spark, both_indexes, tmp_path):
+    """Term-granular bucket splitting (the Zipf-skew straggler fix) must
+    produce the same decoded postings + lexicon as the unsplit merge."""
+    from quickb_spark.index.p2_direct import merge_encode_buckets
+
+    _, idx_di = both_indexes
+    flat = os.path.join(idx_di, "flat")
+    seg2 = str(tmp_path / "seg_split")
+    lex2 = str(tmp_path / "lex_split")
+    summaries = merge_encode_buckets(
+        spark, flat, seg2, lex2, list(range(8)), 128, True,
+        target_bytes=1,  # force max splitting on every bucket
+    )
+    assert any("/" in s["src_file"] and not s["src_file"].endswith("/1)")
+               for s in summaries), "no bucket actually split"
+    lex_a = sorted(
+        (r["bucket"], r["term_h"], r["df"])
+        for r in spark.read.parquet(os.path.join(idx_di, "lexicon")).collect()
+    )
+    lex_b = sorted(
+        (r["bucket"], r["term_h"], r["df"])
+        for r in spark.read.parquet(lex2).collect()
+    )
+    assert lex_a == lex_b
+    term_hs = sorted({t for _, t, _ in lex_a[:200]})
+
+    # decode comparison against the committed unsplit segments
+    pm_a = _postings_map(spark, idx_di, term_hs)
+    stats = load_stats(idx_di)
+    rows = (
+        spark.read.parquet(seg2)
+        .filter(F.col("term_h").isin(term_hs))
+        .select("term_h", "doc_stream", "tf_stream", "dl_stream",
+                "pos_stream", "df_part")
+        .collect()
+    )
+    pm_b: dict[int, list] = {h: [] for h in term_hs}
+    for r in rows:
+        n = int(r["df_part"])
+        dids, tfs, dls = decode_posting_list(
+            bytes(r["doc_stream"]), bytes(r["tf_stream"]), n,
+            bytes(r["dl_stream"]), stats["block_size"],
+        )
+        poss = decode_positions(bytes(r["pos_stream"]), tfs)
+        pm_b[int(r["term_h"])].extend(
+            (int(d), int(t), int(l), tuple(p.tolist()))
+            for d, t, l, p in zip(dids, tfs, dls, poss)
+        )
+    pm_b = {h: sorted(v) for h, v in pm_b.items()}
+    assert pm_a == pm_b
+
+
 def test_runs_checkpoint_resume(spark, both_indexes, tmp_path):
     """A direct-built index re-encodes from its sorted-runs checkpoint with
     no input at all (commit ledger wiped -> full phase-2 re-merge)."""
