@@ -215,10 +215,13 @@ Masters: {lvl_lo} (N) vs {lvl_hi} (4N){
 " over-the-wire shuffle between JVMs" if cluster else
 " — thread-level parallelism in one JVM (see the cluster-mode pool for"
 " the separate-executor-JVM protocol)"}.
-Same job (full compressed index build: fused chunk+tokenize -> salted
-pre-sorted bucketed checkpoint [the only postings shuffle] -> no-shuffle
-delta+varbyte block-max segment encode; then the 50-query BM25/WAND batch
-and per-query p50 through the Searcher serving path) on the same
+Same job (full compressed index build, ZERO-shuffle direct engine:
+size-balanced pyarrow tasks chunk+tokenize and write per-bucket sorted
+posting runs [only one-row summaries ever cross the JVM<->Python
+boundary], then per-bucket tasks k-way merge the runs into delta+varbyte
+block-max segments with term-granular splitting of Zipf-hot buckets and
+in-task lexicon writes; then the 50-query BM25/WAND batch and per-query
+p50 through the Searcher serving path) on the same
 deterministic synthetic corpus ({args.docs} source files, BASELINE.json
 input_hint schema, seed 42), run in separate JVMs at two parallelism
 levels — the sandbox proxy for N vs 4N executors per the driver's round
