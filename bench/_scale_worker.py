@@ -163,7 +163,9 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         names = sorted(
             n for n in os.listdir(corpus_path) if n.endswith(".parquet")
         )
-        take = max(2, len(names) // 50)
+        # at least two files per task slot so the warm build touches EVERY
+        # Python worker in EVERY executor (imports + allocator warm-up)
+        take = max(2 * cpus, len(names) // 50)
         for n in names[:: max(1, len(names) // take)][:take]:
             os.symlink(
                 os.path.join(corpus_path, n), os.path.join(warm_corpus, n)

@@ -273,6 +273,11 @@ def _p1_task(
 
     from quickb_spark.chunking.splitter import split_document
 
+    # a task owns ONE core slot: pyarrow's default compute pool spans every
+    # box core, which would let a small-cluster level steal cores its
+    # executors don't have (real clusters pin slots; the scaling protocol
+    # must too). Idempotent per reused worker process.
+    pa.set_cpu_count(1)
     fsys, _ = pyarrow_fs_for(corpus_uri)
     ofs, flat_root = pyarrow_fs_for(flat_uri)
     _, ds_root = pyarrow_fs_for(ds_uri)
@@ -471,9 +476,12 @@ def _sample_task(
     paths: list[str], corpus_uri: str, chunker_cfg: ChunkerConfig
 ) -> tuple[int, int, Counter]:
     """Hot-term presample worker: df-per-term over this task's files."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from quickb_spark.chunking.splitter import split_document
+
+    pa.set_cpu_count(1)  # one core slot per task (see _p1_task)
 
     fsys, _ = pyarrow_fs_for(corpus_uri)
     df: Counter = Counter()

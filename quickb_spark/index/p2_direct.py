@@ -326,7 +326,10 @@ def _encode_one_file(
 ) -> dict:
     """Read one sorted checkpoint file, encode every (term_h, salt) group,
     write the segment parquet next to its siblings. Pure pyarrow/NumPy."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    pa.set_cpu_count(1)  # one core slot per task (see p1_direct._p1_task)
 
     cols = _CHECKPOINT_COLS if store_positions else _CHECKPOINT_COLS[:-1]
     with fsys.open_input_file(src_path) as f:
@@ -447,6 +450,7 @@ def _merge_one_bucket(
 
     from quickb_spark.index.xxh import hash_long_array
 
+    pa.set_cpu_count(1)  # one core slot per task (see p1_direct._p1_task)
     fsys, _ = pyarrow_fs_for(flat_dir)
     ofs, seg_root = pyarrow_fs_for(seg_dir)
     _, lex_root = pyarrow_fs_for(lex_dir)
@@ -482,8 +486,22 @@ def _merge_one_bucket(
     tf_s = tf[order]
     dl_s = doc_len[order]
     if store_positions:
-        pos_off, pos_bytes = _pos_arrays(tbl, n)
-        pos_vals, pos_off_s = gather_slices(pos_bytes, pos_off, order)
+        # byte-slice reorder via Arrow's C++ take — ~4x less memory traffic
+        # than a per-byte numpy index gather (A/B'd; byte-identical)
+        taken = (
+            tbl.column("pos_vb")
+            .combine_chunks()
+            .take(pa.array(order))
+            .cast(pa.large_binary())
+        )
+        pos_off_s = np.frombuffer(taken.buffers()[1], dtype=np.int64)[
+            : len(order) + 1
+        ]
+        pos_vals = (
+            memoryview(taken.buffers()[2])[: pos_off_s[-1]]
+            if len(order)
+            else b""
+        )
     else:
         pos_vals, pos_off_s = b"", np.zeros(len(order) + 1, dtype=np.int64)
     del tbl
