@@ -421,11 +421,11 @@ def build_flat_runs(
     cores = spark.sparkContext.defaultParallelism
     if n_tasks is None:
         total = sum(s for _, s in files)
-        # ~2-4 tasks per core, but never tiny tasks (<16MB of input) nor
+        # ~2-4 tasks per core, but never tiny tasks (<8MB of input) nor
         # tasks above ~256MB of input (worker memory ceiling); small corpora
         # still spread over every core (warm-up + tests exercise all slots)
         n_tasks = max(
-            min(4 * cores, total // (16 << 20)),
+            min(4 * cores, total // (8 << 20)),
             total // (256 << 20),
             min(len(files), cores),
             1,
@@ -473,9 +473,11 @@ def build_flat_runs(
 
 
 def _sample_task(
-    paths: list[str], corpus_uri: str, chunker_cfg: ChunkerConfig
+    path: str, k: int, nk: int, per_file_frac: float,
+    corpus_uri: str, chunker_cfg: ChunkerConfig,
 ) -> tuple[int, int, Counter]:
-    """Hot-term presample worker: df-per-term over this task's files."""
+    """Hot-term presample worker: df-per-term over the k-th of nk evenly
+    spaced row slices of one file, sampling per_file_frac of its rows."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -487,21 +489,24 @@ def _sample_task(
     df: Counter = Counter()
     n_chunks = 0
     n_postings = 0
-    for path in paths:
-        with fsys.open_input_file(path) as f:
-            tbl = pq.read_table(f, columns=["lang", "content"])
-        for lang, content in zip(
-            tbl.column("lang").to_pylist(), tbl.column("content").to_pylist()
-        ):
-            if not content:
+    with fsys.open_input_file(path) as f:
+        tbl = pq.read_table(f, columns=["lang", "content"])
+    n = tbl.num_rows
+    lo = (n * k) // nk
+    take = max(1, int(round(n * per_file_frac / nk))) if n else 0
+    sl = tbl.slice(lo, max(0, min(take, n - lo)))
+    for lang, content in zip(
+        sl.column("lang").to_pylist(), sl.column("content").to_pylist()
+    ):
+        if not content:
+            continue
+        for text in split_document(content, lang, chunker_cfg):
+            toks = set(_TOKEN_RE.findall(text.lower()))
+            if not toks:
                 continue
-            for text in split_document(content, lang, chunker_cfg):
-                toks = set(_TOKEN_RE.findall(text.lower()))
-                if not toks:
-                    continue
-                n_chunks += 1
-                n_postings += len(toks)
-                df.update(toks)
+            n_chunks += 1
+            n_postings += len(toks)
+            df.update(toks)
     return n_chunks, n_postings, df
 
 
@@ -513,24 +518,40 @@ def presample_hot_direct(
     sample_margin: float,
     max_terms: int,
 ) -> tuple[list[str], int]:
-    """Phase-0 hot-term detection over a ~frac FILE sample (the direct
-    analogue of segments._presample_hot_terms, which row-samples; file
-    sampling has the same df statistics on uniformly written corpora and
-    costs one pyarrow pass over 1/50th of the input).
-    -> (hot_terms sorted, est_total_postings)."""
+    """Phase-0 hot-term detection over a ~frac row sample, striped across
+    FILES (the direct analogue of segments._presample_hot_terms; striping
+    has the same df statistics on uniformly written corpora).
+    -> (hot_terms sorted, est_total_postings).
+
+    The sample is spread over a FIXED number of work units (64), each
+    reading an evenly-spaced row slice of one file: with a naive
+    one-task-per-sampled-file plan the presample is a ~6-task job whose
+    wall time is the same at every cluster size — a pure fixed cost that
+    the scaling protocol's wide level pays 4x harder. The unit count being
+    level-independent keeps the sampled rows (and therefore the hot set
+    and salt assignment) identical at every parallelism."""
     files = list_parquet_files(corpus_uri)
-    stride = max(1, round(1.0 / frac))
-    sample = [f for i, f in enumerate(files) if i % stride == 0]
-    eff_frac = len(sample) / len(files)
-    cores = spark.sparkContext.defaultParallelism
-    groups = plan_groups(sample, min(2 * cores, len(sample)))
+    n_units = 64
+    files_used = min(len(files), n_units)
+    fstride = len(files) // files_used
+    chosen = files[::fstride][:files_used]
+    per_file_frac = min(1.0, frac * len(files) / files_used)
+    slices_per_file = max(1, n_units // files_used)
+    eff_frac = files_used * per_file_frac / len(files)
     chunker_cfg = cfg.chunker
 
-    def _run(paths):
-        return _sample_task(paths, corpus_uri, chunker_cfg)
+    units = [
+        (path, k, slices_per_file, per_file_frac)
+        for path, _sz in chosen
+        for k in range(slices_per_file)
+    ]
+
+    def _run(unit):
+        path, k, nk, pf = unit
+        return _sample_task(path, k, nk, pf, corpus_uri, chunker_cfg)
 
     sc = spark.sparkContext
-    parts = sc.parallelize(groups, len(groups)).map(_run).collect()
+    parts = sc.parallelize(units, len(units)).map(_run).collect()
     n_chunks = sum(p[0] for p in parts)
     est_postings = int(sum(p[1] for p in parts) / eff_frac)
     df: Counter = Counter()
