@@ -183,12 +183,20 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     idx = os.path.join(work_dir, f"index_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
 
+    sys.path.insert(0, os.path.join(_REPO, "bench"))
+    from _hostload import LoadMeter
+
+    phases: dict = {}
+    build_load = LoadMeter()
+    build_load.start()
     t0 = time.perf_counter()
     build_index(
         spark, index_dir=idx, cfg=cfg, wave_size=64, documents=docs,
         corpus_uri=corpus_path,  # direct phase 1 unless QKB_P1_CHANNEL=1
+        timings=phases,
     )
     build_sec = time.perf_counter() - t0
+    build_loadinfo = build_load.stop()
 
     # Serving: a Searcher bound to the index, as a server process would run
     # it. The timed 50-query batch starts with a COLD df cache (it includes
@@ -219,6 +227,12 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
                 "query_batch_sec": round(query_batch_sec, 2),
                 "n_results": n_results,
                 "query_p50_sec": round(p50, 3),
+                # external (non-own) vs own busy cores box-wide, averaged
+                # over the BUILD window (bench/_hostload.py) — the report's
+                # clean-pair gate reads ext_cores
+                "ext_cores": build_loadinfo["ext_cores"],
+                "own_cores": build_loadinfo["own_cores"],
+                "phases": phases,
             }
         )
     )

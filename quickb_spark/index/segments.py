@@ -366,6 +366,7 @@ def build_index(
     wave_size: int = 64,
     documents: DataFrame | None = None,
     corpus_uri: str | None = None,
+    timings: dict | None = None,
 ) -> None:
     """Build (or resume) the compressed index.
 
@@ -392,10 +393,12 @@ def build_index(
 
     def _mark(label: str) -> None:
         nonlocal _t0
+        now = time.perf_counter()
+        if timings is not None:
+            timings[label] = round(timings.get(label, 0.0) + now - _t0, 2)
         if _dbg:
-            now = time.perf_counter()
             print(f"[build_index] {label}: {now - _t0:.1f}s", flush=True)
-            _t0 = now
+        _t0 = now
     # ALL side-file I/O (markers, meta JSONs, stats) goes through the
     # Hadoop FileSystem of the index dir, so hdfs:///s3a:///file:// index
     # roots resume exactly like local ones
