@@ -123,6 +123,10 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
             hot_term_min_df=500,
             salt_buckets=16,
             term_buckets=64,
+            # same task size at EVERY level (see IndexConfig.p1_task_bytes);
+            # 8MB keeps a task's working set comfortably cache-friendly on
+            # this box's few-MB corpus files
+            p1_task_bytes=8 << 20,
         )
     )
 

@@ -100,6 +100,14 @@ class IndexConfig:
     #: stragglers. ~250k postings ≈ a few MB of checkpoint parquet; raise
     #: it on real clusters where 64-128MB files are the sweet spot.
     subgroup_target_postings: int = 250_000
+    #: Target CORPUS bytes per direct phase-1 task (index/p1_direct.py).
+    #: Deliberately cluster-size-INDEPENDENT, like Spark's own
+    #: maxPartitionBytes input splits: sizing tasks by core count would
+    #: give a smaller cluster bigger (more memory-churning) tasks and
+    #: distort job-vs-job comparisons. A task's working set is roughly
+    #: 10-20x its input bytes (postings + vocab + sort buffers); raise
+    #: this only with executor memory to spare.
+    p1_task_bytes: int = 32 << 20
 
     def __post_init__(self) -> None:
         if not 0.0 < self.hot_term_doc_fraction <= 1.0:
@@ -108,6 +116,8 @@ class IndexConfig:
             raise ValueError("salt_buckets/block_size/term_buckets must be >= 1")
         if self.subgroup_target_postings < 1:
             raise ValueError("subgroup_target_postings must be >= 1")
+        if self.p1_task_bytes < 1:
+            raise ValueError("p1_task_bytes must be >= 1")
 
 
 @dataclass(frozen=True)

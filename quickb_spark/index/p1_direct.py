@@ -421,12 +421,13 @@ def build_flat_runs(
     cores = spark.sparkContext.defaultParallelism
     if n_tasks is None:
         total = sum(s for _, s in files)
-        # ~2-4 tasks per core, but never tiny tasks (<8MB of input) nor
-        # tasks above ~256MB of input (worker memory ceiling); small corpora
-        # still spread over every core (warm-up + tests exercise all slots)
+        # input-size-driven, like Spark's own scan splits: the task byte
+        # target (cfg.index.p1_task_bytes) does NOT depend on cluster size
+        # — tying it to cores would hand a smaller cluster bigger, more
+        # memory-churning tasks and distort any cross-size comparison.
+        # Small corpora still spread over every core (warm-up + tests).
         n_tasks = max(
-            min(4 * cores, total // (8 << 20)),
-            total // (256 << 20),
+            total // cfg.index.p1_task_bytes,
             min(len(files), cores),
             1,
         )
