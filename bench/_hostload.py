@@ -4,33 +4,47 @@ This sandbox is a shared/virtualized box whose background load shifts by
 integer factors between hours (BENCH/BASELINE.md methodology). A matched
 pair controls for load ACROSS levels but not for a burst INSIDE one
 level's timed window — so each trial records how many cores of NON-owned
-CPU ran during its window, computed as
+CPU ran during its window:
 
-    external = (box busy jiffies) - (this process tree's jiffies)
+    external = (box busy jiffies) - (own tree) - (kernel threads)
 
-sampled from /proc/stat and a /proc/<pid>/stat tree walk at the window's
-start and end. Short-lived external processes are captured (they burn box
-jiffies); short-lived OWN processes that die mid-window are undercounted,
-which only OVERSTATES external load — the conservative direction for a
-gate that discards contended trials. The numbers ride in the trial's raw
-JSON; the report's clean-pair rule is declared there.
+Box busy comes from /proc/stat (including steal). Own-tree CPU cannot be
+a start/stop snapshot of live pids: Spark's Python workers are forked and
+reaped DURING the window, and a process that dies between two snapshots
+takes its whole jiffy count out of the naive delta — at 16 cores that
+misattributed most of the benchmark's own CPU to "external". Instead a
+daemon thread samples /proc every ~2s and accumulates per-pid high-water
+CPU for every pid ever seen, classified into this process's descendant
+tree, kernel threads (descendants of kthreadd, pid 2 — page-cache
+flushing and memory compaction they do is mostly ON BEHALF of the
+benchmark's own allocations, so charging it to co-tenants would misfire
+the gate), and everything else. A worker that dies right after a sample
+loses at most ~2s of CPU, which only OVERSTATES external load — the
+conservative direction for a gate that discards contended trials.
 """
 
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 __all__ = ["LoadMeter"]
 
 
 def _box_busy_jiffies() -> int:
+    """Busy jiffies attributable to PROCESSES: total minus idle, iowait
+    and irq/softirq (interrupt time is charged to no process's stime, so
+    leaving it in would surface as phantom 'external' load during the
+    benchmark's own IO-heavy phases). Steal stays in: host-level CPU
+    contention is exactly what the gate must see."""
     with open("/proc/stat") as f:
         vals = [int(x) for x in f.readline().split()[1:]]
-    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    return sum(vals) - vals[3] - vals[4] - vals[5] - vals[6]
 
 
-def _tree_cpu_jiffies(root: int) -> int:
+def _scan(root: int) -> dict[int, tuple[str, int]]:
+    """pid -> (class, utime+stime jiffies); class in {own, kern, other}."""
     ppid: dict[int, int] = {}
     cpu: dict[int, int] = {}
     for d in os.listdir("/proc"):
@@ -45,34 +59,75 @@ def _tree_cpu_jiffies(root: int) -> int:
         ppid[pid] = int(rp[1])
         cpu[pid] = int(rp[11]) + int(rp[12])  # utime + stime
 
-    total = 0
+    out: dict[int, tuple[str, int]] = {}
     for pid, c in cpu.items():
+        cls = "other"
         p, seen = pid, set()
-        while p > 1 and p not in seen:
+        while p >= 1 and p not in seen:
             if p == root:
-                total += c
+                cls = "own"
+                break
+            if p == 2:
+                cls = "kern"
                 break
             seen.add(p)
-            p = ppid.get(p, 1)
-    return total
+            p = ppid.get(p, 0)
+            if p == 0:
+                break
+        out[pid] = (cls, c)
+    return out
 
 
 class LoadMeter:
-    """start() ... stop() -> dict with external/own busy cores averaged
-    over the window (box-wide, out of os.cpu_count())."""
+    """start() ... stop() -> dict with external/own/kernel busy cores
+    averaged over the window (box-wide, out of os.cpu_count())."""
+
+    def __init__(self, interval: float = 1.0) -> None:
+        # calibration (pure 16x10s own burn on an idle box): own reads
+        # ~14.4-15.2 of 16 with ext residual ~0.8-1.5 cores from sampling
+        # granularity around process exit — the clean-pair gate threshold
+        # must sit above that floor; real co-tenant bursts measure 10+
+        self._interval = interval
+
+    def _tick(self) -> None:
+        for pid, (cls, c) in _scan(self._root).items():
+            key = (pid, cls)
+            if key not in self._first:
+                self._first[key] = c
+            self._last[key] = c
+
+    def _loop(self) -> None:
+        while not self._stop_evt.wait(self._interval):
+            self._tick()
 
     def start(self) -> None:
+        self._root = os.getpid()
+        self._first: dict[tuple[int, str], int] = {}
+        self._last: dict[tuple[int, str], int] = {}
         self._t = time.time()
         self._busy = _box_busy_jiffies()
-        self._own = _tree_cpu_jiffies(os.getpid())
+        self._tick()
+        self._stop_evt = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
 
     def stop(self) -> dict:
+        self._stop_evt.set()
+        self._thread.join(timeout=5)
+        self._tick()
         wall = max(1e-6, time.time() - self._t)
         hz = os.sysconf("SC_CLK_TCK")
         d_busy = _box_busy_jiffies() - self._busy
-        d_own = _tree_cpu_jiffies(os.getpid()) - self._own
+        sums = {"own": 0, "kern": 0, "other": 0}
+        for (pid, cls), last in self._last.items():
+            sums[cls] += last - self._first[(pid, cls)]
+        own = sums["own"]
+        kern = sums["kern"]
         return {
             "wall": round(wall, 2),
-            "own_cores": round(d_own / hz / wall, 2),
-            "ext_cores": round(max(0, d_busy - d_own) / hz / wall, 2),
+            "own_cores": round(own / hz / wall, 2),
+            "kern_cores": round(kern / hz / wall, 2),
+            "ext_cores": round(
+                max(0, d_busy - own - kern) / hz / wall, 2
+            ),
         }

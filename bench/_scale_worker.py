@@ -38,6 +38,14 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     #                           (local[] makes 4N threads share ONE heap
     #                           and GC, which no real cluster does).
     cluster_mode = os.environ.get("QKB_SCALE_CLUSTER") == "1"
+    # glibc tuning for the (persistent, task-reused) Python workers: numpy
+    # buffers above 128KB default to mmap and get UNMAPPED on every free —
+    # at 16 concurrent direct-build tasks the kernel page-fault path turned
+    # up as ~9 cores of system time (measured via /proc/stat during the
+    # merge phase). Keeping large allocations on the reusable arena trades
+    # resident memory (bounded by per-task working set) for fault storms.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str((1 << 31) - 1))
     # Pre-size and pre-touch heaps at session startup (which the protocol
     # excludes from the timed window): letting a heap grow lazily means the
     # shuffle-heavy phase 1 pays guest page faults — under a contended

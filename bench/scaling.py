@@ -194,7 +194,10 @@ def write_report(args, complete) -> None:
     # alone, which no within-pair ratio can correct. Both medians are
     # reported; the headline is the clean median when >=3 clean pairs
     # exist, else the all-pairs median.
-    EXT_GATE = 2.0
+    # 3.0 sits above the meter's ~1.5-core misattribution floor under full
+    # own load (bench/_hostload.py calibration) and far below the 10+ cores
+    # real co-tenant bursts measure
+    EXT_GATE = 3.0
     clean = [r for r in rows if r["ext"] is not None and r["ext"] <= EXT_GATE]
     effs = sorted(r["eff"] for r in rows)
     med_all = _median(effs)
@@ -217,7 +220,7 @@ def write_report(args, complete) -> None:
         f"| {r['lo']['query_batch_sec']} | {r['hi']['query_batch_sec']} | {r['q_eff']:.3f} "
         f"| {r['lo']['query_p50_sec']} / {r['hi']['query_p50_sec']} "
         f"| {'n/a' if r['ext'] is None else r['ext']}"
-        f"{'' if r['ext'] is None else (' ✓' if r['ext'] <= 2.0 else ' ✗')} |"
+        f"{'' if r['ext'] is None else (' ✓' if r['ext'] <= 3.0 else ' ✗')} |"
         for r in rows
     )
     raw = "\n".join(
@@ -259,7 +262,8 @@ LOAD GATE (part of the protocol, not post-hoc): every trial's raw JSON
 records `ext_cores` — the box-wide EXTERNAL (non-benchmark) busy cores
 averaged over that trial's build window, measured from /proc/stat minus
 this process tree's jiffies (bench/_hostload.py). A pair is CLEAN when
-neither of its build windows saw more than 2.0 external cores: co-tenant
+neither of its build windows saw more than 3.0 external cores (above the meter's ~1.5-core
+misattribution floor, far below the 10+ of real bursts): co-tenant
 bursts inside one window slow that level alone, which no within-pair
 ratio can correct. The headline is the median over clean pairs when at
 least 3 exist (here: {len(clean)} clean of {len(rows)}); the all-pairs
@@ -278,7 +282,7 @@ files/sec (pair {best_thr['pair']}).
 
 Per-pair results (every number below also appears in the raw JSON;
 ext = max external busy cores over the pair's two build windows,
-✓ = clean under the 2.0-core gate):
+✓ = clean under the 3.0-core gate):
 
 | pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | ext |
 |---|---|---|---|---|---|---|---|---|---|---|
