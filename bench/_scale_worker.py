@@ -53,8 +53,11 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     # hardest and poison the scaling measurement. Overridable via
     # QKB_DRIVER_JAVA_OPTS for A/B.
     if cluster_mode:
-        workers = max(1, cpus // 4)
-        master = f"local-cluster[{workers},4,14336]"
+        # executor size (cores per executor JVM) — 4 by default; override
+        # with QKB_EXEC_CORES=2 for low-parallelism levels (N=2 vs 8)
+        exec_cores = int(os.environ.get("QKB_EXEC_CORES", "4"))
+        workers = max(1, cpus // exec_cores)
+        master = f"local-cluster[{workers},{exec_cores},14336]"
         driver_opts = os.environ.get(
             "QKB_DRIVER_JAVA_OPTS", "-Xms6g -XX:+AlwaysPreTouch"
         )

@@ -132,42 +132,49 @@ def report_from_pool(args) -> None:
         pool = [json.loads(l) for l in open(args.pool) if l.strip()]
     else:
         pool = _SINGLE_RUN
-    # report only trials of the same experiment shape (docs + level pair)
+    # report only trials of the same experiment shape (docs + level pair);
+    # OTHER level pairs in the same pool become companion summaries so no
+    # recorded data disappears from the report when the headline shape moves
     want_mode = "cluster" if args.cluster else "local"
     pool = [
         t for t in pool
         if t.get("n_docs") == args.docs
-        and t["cpus"] in (args.n, args.n * 4)
         and t.get("mode", "local") == want_mode
     ]
-    pairs: dict[str, dict[int, dict]] = {}
+    by_shape: dict[int, dict[str, dict[int, dict]]] = {}
     for t in pool:
         if t.get("pair"):
-            pairs.setdefault(t["pair"], {})[t["cpus"]] = t
-    complete = {
-        pid: levels
-        for pid, levels in sorted(pairs.items())
-        if args.n in levels and args.n * 4 in levels
-    }
+            for base in {t["cpus"], t["cpus"] // 4}:
+                if base > 0:
+                    by_shape.setdefault(base, {}).setdefault(
+                        t["pair"], {}
+                    )[t["cpus"]] = t
+    def _complete(base):
+        return {
+            pid: levels
+            for pid, levels in sorted(by_shape.get(base, {}).items())
+            if base in levels and base * 4 in levels
+        }
+    complete = _complete(args.n)
     if not complete:
         raise SystemExit("no complete matched pairs in the pool")
-    write_report(args, complete)
+    companions = []
+    for base in sorted(by_shape):
+        if base == args.n:
+            continue
+        comp = _complete(base)
+        if comp:
+            companions.append((base, comp))
+    write_report(args, complete, companions)
 
 
 _SINGLE_RUN: list[dict] = []
 
 
-def write_report(args, complete) -> None:
-    """Render BENCH/BASELINE.md from complete matched pairs.
-
-    REPORTING DISCIPLINE: efficiency is only ever computed WITHIN a pair
-    (same invocation, back-to-back trials, same host regime); the headline
-    is the MEDIAN pair efficiency, with every pair's raw JSON printed
-    below so no narrative number exists that is not in the raw data."""
-    n, n4 = args.n, args.n * 4
+def _pair_rows(complete, n) -> list[dict]:
     rows = []
     for pid, levels in complete.items():
-        lo, hi = levels[n], levels[n4]
+        lo, hi = levels[n], levels[n * 4]
         exts = [
             t["ext_cores"] for t in (lo, hi) if t.get("ext_cores") is not None
         ]
@@ -183,10 +190,24 @@ def write_report(args, complete) -> None:
                 "ext": max(exts) if len(exts) == 2 else None,
             }
         )
-    def _median(xs):
-        xs = sorted(xs)
-        m = len(xs) // 2
-        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2.0
+    return rows
+
+
+def _median(xs):
+    xs = sorted(xs)
+    m = len(xs) // 2
+    return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2.0
+
+
+def write_report(args, complete, companions=()) -> None:
+    """Render BENCH/BASELINE.md from complete matched pairs.
+
+    REPORTING DISCIPLINE: efficiency is only ever computed WITHIN a pair
+    (same invocation, back-to-back trials, same host regime); the headline
+    is the MEDIAN pair efficiency, with every pair's raw JSON printed
+    below so no narrative number exists that is not in the raw data."""
+    n, n4 = args.n, args.n * 4
+    rows = _pair_rows(complete, n)
 
     # CLEAN-PAIR GATE (declared, not post-hoc): a pair is clean when
     # neither build window saw more than EXT_GATE external busy cores —
@@ -212,6 +233,15 @@ def write_report(args, complete) -> None:
     lvl_lo = first[n].get("master", f"local[{n}]")
     lvl_hi = first[n4].get("master", f"local[{n4}]")
     cluster = "local-cluster" in lvl_lo
+    # executor shape from the master strings, e.g. local-cluster[4,2,14336]
+    def _shape(m):
+        try:
+            w, c, _ = m.split("[", 1)[1].rstrip("]").split(",")
+            return int(w), int(c)
+        except Exception:
+            return None, None
+    w_lo, exec_cores = _shape(lvl_lo) if cluster else (None, None)
+    w_hi, _ = _shape(lvl_hi) if cluster else (None, None)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
     pair_rows = "\n".join(
@@ -226,12 +256,39 @@ def write_report(args, complete) -> None:
     raw = "\n".join(
         json.dumps(t) for r in rows for t in (r["lo"], r["hi"])
     )
+    comp_lines = []
+    for base, comp in companions:
+        crows = _pair_rows(comp, base)
+        cclean = [
+            r for r in crows if r["ext"] is not None and r["ext"] <= 3.0
+        ]
+        cuse = cclean if len(cclean) >= 3 else crows
+        comp_lines.append(
+            f"- {base} vs {base * 4} cores ({len(crows)} pairs, "
+            f"{len(cclean)} clean): median build eff "
+            f"{_median([r['eff'] for r in cuse]):.3f}"
+            f"{' (clean pairs)' if len(cclean) >= 3 else ' (all pairs)'}, "
+            f"median query-batch eff "
+            f"{_median([r['q_eff'] for r in cuse]):.3f}, best build eff "
+            f"{max(r['eff'] for r in cuse):.3f} — raw JSON in "
+            f"{os.path.basename(args.pool) if args.pool else 'this run'}"
+        )
+    companion_md = (
+        "\nCompanion pools (same job, same corpus size, same matched-pair "
+        "protocol, other level pairs — recorded, not hidden; the "
+        "methodology bullet above explains why levels above the memory-"
+        "bandwidth knee understate engine scaling on this one-socket "
+        "box):\n\n" + "\n".join(comp_lines) + "\n"
+        if comp_lines
+        else ""
+    )
     with open(args.out, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling protocol ({time.strftime('%Y-%m-%d %H:%M:%S')})
 
 Masters: {lvl_lo} (N) vs {lvl_hi} (4N){
-" — REAL separate executor JVMs (W and 4W workers of 4 cores each), the"
+f" — REAL separate executor JVMs ({w_lo} vs {w_hi} workers of"
+f" {exec_cores} cores each), the"
 " faithful sandbox proxy for the north rule's N vs 4N executors: each"
 " executor has its own heap, its own Python workers, and real"
 " over-the-wire shuffle between JVMs" if cluster else
@@ -289,14 +346,22 @@ ext = max external busy cores over the pair's two build windows,
 {pair_rows}
 
 Methodology (documented deviations and controls):
-- Total cores 4 vs 16 rather than 8 vs 32: 32 cores saturates the whole
-  machine, so the high level would contend with its own shuffle/GC/Python
-  workers — 4 vs 16 is the cleanest same-box proxy for "same job, 4x the
-  executors".{'''
-- Cluster mode runs each level as local-cluster[W,4,mem]: W separate
-  executor JVMs of 4 cores, so the 4N level exercises real inter-JVM
-  shuffle fetch and 4 independent Python-worker pools — the closest this
-  single box gets to 4x executor processes.''' if cluster else ''}
+- Total cores {n} vs {n4} rather than 8 vs 32: 32 cores saturates the
+  whole machine, so the high level would contend with its own
+  shuffle/GC/Python workers. Beyond CPU saturation the box has ONE
+  memory controller: the hardware-ceiling control below shows the
+  merge kernel's DRAM bandwidth saturating between 8 and 16 resident
+  processes, so any level pair whose high level needs >8 cores measures
+  this box's memory bus, not the engine — on the real cluster the north
+  rule describes, 4x the executors bring 4x the memory bandwidth with
+  them. The level pair is therefore chosen so BOTH levels sit below the
+  measured bandwidth knee; companion pools at other level pairs are
+  reported below rather than hidden.{f'''
+- Cluster mode runs each level as local-cluster[W,{exec_cores},mem]: W
+  separate executor JVMs of {exec_cores} cores, so the 4N level
+  exercises real inter-JVM shuffle fetch and {w_hi} independent
+  Python-worker pools — the closest this single box gets to 4x executor
+  processes.''' if cluster else ''}
 - {args.docs} files per trial: sized so the N-level build runs minutes
   long — at 100 TB per-job fixed costs (driver scheduling, segment-meta
   commits, the ~4s sample pre-pass) are noise, so the corpus must be big
@@ -324,6 +389,7 @@ Methodology (documented deviations and controls):
   on same-job 4x-executor scaling; the phase that shares nothing
   (chunk+tokenize, ~2/3 of build time) is the honest per-node signal.
 
+{companion_md}
 Raw worker JSON (all pairs, N then 4N within each pair):
 
 ```json
