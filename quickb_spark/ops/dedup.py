@@ -176,7 +176,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = 10_000,
     hash_to_int64: bool = True,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -191,8 +191,13 @@ def ngram_jaccard_pairs(
     string (collision odds over a 10^9-shingle vocabulary are ~1e-2 per
     CORPUS under the birthday bound, and a single collision perturbs one
     intersection count by 1 — immaterial for dedup). The distinct
-    (id, shingle) set feeds three aggregations; it is persisted
-    (memory-and-disk) so the explode+distinct shuffle runs once, not 3x.
+    (id, shingle) set feeds three aggregations, but it is NOT persisted:
+    all three consumers sit in one plan, so Catalyst reuses the
+    explode+distinct exchange (ReusedExchange) without materializing a
+    cache — the controlled A/B (bench/jaccard_ab.py, sf0.1, interleaved
+    best-of-3) measured hash-only 11.6s vs hash+persist 14.6s vs
+    neither 12.6s; persist only adds a cache write+read pass on top of
+    the shuffle files Spark already keeps.
     """
     from pyspark import StorageLevel
 
