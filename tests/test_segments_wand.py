@@ -284,3 +284,65 @@ def test_format_version_fail_fast(spark, built, tmp_path):
     ).parquet(f"{legacy}/flat")
     with pytest.raises(RuntimeError, match=re.escape("salt")):
         build_index(spark, index_dir=legacy, cfg=CFG)
+
+
+def test_segment_scan_prunes_partitions_and_pushes_filters(spark, built, tmp_path):
+    """The README's plan claim, asserted: the query-side segment scan must
+    (a) PARTITION-prune to the query terms' buckets, (b) push the term_h
+    predicate into the parquet scan (PushedFilters), and (c) prune columns
+    to the projection (ReadSchema). Guards the scan shape in
+    query/wand.py:555-559 — a regression here silently turns
+    O(query terms) serving into O(index).
+
+    Pruning is proven BEHAVIORALLY, not just by plan text: a poison
+    (non-parquet) file is planted in an extra bucket=999 partition; a
+    pruned scan never opens it, an unpruned scan dies on it."""
+    import io
+    from contextlib import redirect_stdout
+
+    from quickb_spark.functions.hashing import bucket_of, xxhash64
+
+    stats = load_stats(built)
+    terms = ["def", "import", "return"]
+    buckets = sorted({bucket_of(t, stats["term_buckets"]) for t in terms})
+    hashes = [xxhash64(t) for t in terms]
+    assert len(buckets) < stats["term_buckets"], "fixture must actually prune"
+
+    seg_copy = str(tmp_path / "segments")
+    shutil.copytree(f"{built}/segments", seg_copy)
+    os.makedirs(f"{seg_copy}/bucket=999")
+    with open(f"{seg_copy}/bucket=999/poison.parquet", "wb") as f:
+        f.write(b"this is not a parquet file")
+    # explicit schema: no footer sampling at read time, so ONLY partition
+    # pruning decides whether the poison file is ever opened
+    schema = spark.read.parquet(f"{built}/segments").schema
+
+    def pruned(bucket_list):
+        return (
+            spark.read.schema(schema).parquet(seg_copy)
+            .filter(F.col("bucket").isin(bucket_list))
+            .filter(F.col("term_h").isin(hashes))
+            .select("term_h", "salt", "df_part", "doc_stream")
+        )
+
+    # (a) behavioral partition pruning: the poison partition is never read
+    assert pruned(buckets).count() > 0
+    # control: the poison IS poisonous when its partition survives pruning
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        pruned(buckets + [999]).count()
+
+    scan = pruned(buckets)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "In(term_h" in plan, f"term_h not pushed to parquet:\n{plan}"
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    for col in ("term_h", "doc_stream"):
+        assert col in read_schema
+    assert "block_max_tf" not in read_schema, (
+        "column pruning failed — unprojected columns reach the scan"
+    )
