@@ -123,7 +123,10 @@ class Searcher:
             F.col("term_h").isin(list(th.values()))
         )
         if ranges == "auto":
-            r_count = _auto_ranges(sum(dfs[t] for t in live))
+            r_count = _auto_ranges(
+                sum(dfs[t] for t in live),
+                self.spark.sparkContext.defaultParallelism,
+            )
         else:
             r_count = int(ranges)
         return _score_segments(
