@@ -539,9 +539,10 @@ def bm25_topk_segments(
     equivalence tests.
 
     ranges: docID-range fan-out per query — "auto" sizes it from the
-    candidate-posting count (one range per ~2M postings, capped at 32), an
-    int forces it. All values return identical results (ranges partition
-    the doc space; tested).
+    candidate-posting count and the cluster's parallelism (see
+    _auto_ranges: one range per ~2M postings, capped at 32 and at 2x the
+    available task slots), an int forces it. All values return identical
+    results (ranges partition the doc space; tested).
 
     Self-contained one-shot form: re-lists the index and re-derives per-term
     df per call. For serving (repeated batches against one index), use
