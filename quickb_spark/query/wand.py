@@ -192,11 +192,97 @@ def _wand_topk(terms, k, k1, b, avgdl):
     return uniq[order].tolist(), acc[order].tolist()
 
 
-#: below this many candidate postings per (query, range) task, the
-#: vectorized exhaustive scorer beats pointer-chasing WAND (NumPy kernels vs
-#: a Python DAAT loop). Each task decodes only its block-aligned slice, so
-#: the decode cost is already bounded by the range split; WAND's pruning
-#: only saves the scoring pass on top of that.
+def _blockmax_topk(terms, k, k1, b, avgdl):
+    """Vectorized block-max pruning: same answers as `_exact_topk`, same
+    block-max bounds as `_wand_topk`, but NumPy end to end.
+
+    The pointer-chasing `_wand_topk` loop pays Python-interpreter cost per
+    DAAT step, which loses to the vectorized exhaustive kernel by >10x on
+    multi-million-posting tasks (measured: 7.5M postings scored exhaustively
+    in ~1s vs ~18s through the Python WAND loop, 2026-08-18 probe on the 4M
+    index). This scorer keeps the asymptotic win of block-max pruning
+    without the per-doc Python loop:
+
+      1. θ seed — per term, take its top-k posting scores' docs as
+         candidates; exact-sum those candidate docs across all terms
+         (searchsorted lookups, O(nt·k·log n)); the kth-largest candidate
+         sum is a valid LOWER bound on the true kth-best score (candidate
+         sums are exact scores of a subset of docs).
+      2. Segment sweep — the union of all terms' block boundaries cuts the
+         docID axis into segments, each covered by exactly one block per
+         term; the per-segment upper bound is the sum of covering-block
+         bounds (idf·S(block_max_tf, block_min_dl) — the `_wand_topk`
+         bound). Segments whose bound falls below θ cannot hold a top-k
+         doc and every posting in them is dropped with one boolean mask.
+      3. Exhaustive vectorized scoring of the survivors.
+
+    Pruning uses strict `< θ` (with θ backed off 4 ulps so a different fp
+    summation order can't promote it past the exact path's kth score), so
+    ties at the kth score survive — bit-identical results to `_exact_topk`
+    including tie-breaks (fuzz-tested in tests/test_wand_fuzz.py)."""
+    nt = len(terms)
+    if nt == 0:
+        return [], []
+
+    # 1. θ seed from a strong candidate pool
+    cands = []
+    for t in terms:
+        s = t["scores"]
+        if len(s) > k:
+            idx = np.argpartition(s, -k)[-k:]
+        else:
+            idx = np.arange(len(s))
+        cands.append(t["docs"][idx])
+    cand = np.unique(np.concatenate(cands))
+    if len(cand) < k:
+        return _exact_topk(terms, k)  # fewer docs than k: nothing to prune
+    tot = np.zeros(len(cand))
+    for t in terms:
+        d = t["docs"]
+        pos = np.searchsorted(d, cand)
+        pos_c = np.minimum(pos, len(d) - 1)
+        hit = d[pos_c] == cand
+        np.add.at(tot, np.nonzero(hit)[0], t["scores"][pos_c[hit]])
+    theta = float(np.partition(tot, -k)[-k])
+    for _ in range(4):  # back off a few ulps: prune-less is always safe
+        theta = float(np.nextafter(theta, -np.inf))
+
+    # 2. segment sweep over the union of block boundaries
+    bounds = np.unique(np.concatenate([t["block_last_doc"] for t in terms]))
+    seg_ub = np.zeros(len(bounds))
+    for t in terms:
+        bld = t["block_last_doc"]
+        mtf = t["block_max_tf"].astype(np.float64)
+        mdl = t["block_min_dl"].astype(np.float64)
+        bub = t["idf"] * mtf * (k1 + 1.0) / (
+            mtf + k1 * (1.0 - b + b * mdl / avgdl)
+        )
+        # bounds is a superset of bld, so no segment straddles a block
+        # boundary of t: all of t's docs in segment j live in block
+        # searchsorted(bld, bounds[j], "left") (or past the list's end)
+        ix = np.searchsorted(bld, bounds, "left")
+        valid = ix < len(bld)
+        seg_ub[valid] += bub[np.minimum(ix, len(bld) - 1)][valid]
+    keep_seg = seg_ub >= theta
+
+    # 3. mask each term's postings to surviving segments, score exactly
+    pruned = []
+    for t in terms:
+        m = keep_seg[np.searchsorted(bounds, t["docs"], "left")]
+        if m.all():
+            pruned.append(t)
+        elif m.any():
+            pruned.append({"docs": t["docs"][m], "scores": t["scores"][m]})
+    return _exact_topk(pruned, k)
+
+
+#: below this many candidate postings per (query, range) task, the plain
+#: vectorized exhaustive scorer wins (the θ-seed + segment sweep of
+#: `_blockmax_topk` costs a few extra passes that only pay for themselves
+#: once the posting volume is large enough for pruning to bite). Each task
+#: decodes only its block-aligned slice, so decode cost is already bounded
+#: by the range split; above the threshold, block-max pruning saves the
+#: unique/lexsort over postings that can't reach the top k.
 AUTO_EXACT_MAX_POSTINGS = 2_000_000
 
 #: auto range split: one docID range per this many candidate postings.
@@ -282,10 +368,13 @@ def _make_batch_scorer(
             if not terms:
                 continue
             total = sum(len(t["docs"]) for t in terms)
-            if strategy == "wand" or (
-                strategy == "auto" and total > AUTO_EXACT_MAX_POSTINGS
-            ):
+            if strategy == "wand":
+                # explicit DAAT pointer-chasing WAND (reference algorithm;
+                # equivalence-tested, but Python-loop slow on big tasks)
                 doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
+            elif strategy == "auto" and total > AUTO_EXACT_MAX_POSTINGS:
+                # vectorized block-max pruning: NumPy-speed on big tasks
+                doc_ids, scores = _blockmax_topk(terms, k, k1, b, avgdl)
             else:
                 doc_ids, scores = _exact_topk(terms, k)
             out_q.extend([qid] * len(doc_ids))
@@ -516,6 +605,13 @@ def _auto_ranges(total_postings: int, parallelism: int | None = None) -> int:
     if parallelism:
         memory_floor = -(-total_postings // (4 * RANGE_TARGET_POSTINGS))
         ideal = min(ideal, max(2 * parallelism, memory_floor))
+        # ... but never leave task slots idle: a single small query is one
+        # work granule by the target above, yet splitting its decode across
+        # the cluster's free slots cuts latency near-linearly (measured at
+        # 2 cores on the 4M index: 1.34s at 1 range vs 0.19s at 16). Floor
+        # at one range per ~64k postings so trivial lists don't fan out.
+        slot_floor = min(parallelism, -(-total_postings // 65536))
+        ideal = max(ideal, slot_floor)
     return int(max(1, min(MAX_RANGES, ideal)))
 
 
