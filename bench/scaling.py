@@ -109,20 +109,29 @@ def main() -> None:
         gen_corpus(corpus, args.docs)
 
     session = time.strftime("%Y%m%d-%H%M%S")
-    for pair in range(args.pairs):
-        pair_id = f"{session}#{pair}"
-        for cpus in (args.n, args.n * 4):
-            print(f"pair {pair + 1}/{args.pairs}: level local[{cpus}] ...", flush=True)
-            r = run_level(cpus, corpus, work, cluster=args.cluster)
-            r["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
-            r["n_docs"] = args.docs
-            r["pair"] = pair_id
-            print("  ", r, flush=True)
-            if args.pool:
-                with open(args.pool, "a") as f:
-                    f.write(json.dumps(r) + "\n")
-            else:
-                _SINGLE_RUN.append(r)
+    try:
+        for pair in range(args.pairs):
+            pair_id = f"{session}#{pair}"
+            for cpus in (args.n, args.n * 4):
+                print(f"pair {pair + 1}/{args.pairs}: level local[{cpus}] ...", flush=True)
+                r = run_level(cpus, corpus, work, cluster=args.cluster)
+                r["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+                r["n_docs"] = args.docs
+                r["pair"] = pair_id
+                print("  ", r, flush=True)
+                if args.pool:
+                    with open(args.pool, "a") as f:
+                        f.write(json.dumps(r) + "\n")
+                else:
+                    _SINGLE_RUN.append(r)
+    finally:
+        # the work dir lives in tmpfs, so leaking it on a crash eats RAM
+        # until the NEXT pool run OOMs its executors (observed: 57 GB of
+        # stale qkb_scaling_* dirs pushed a 5-JVM trial into kswapd and the
+        # master killed the app); a --corpus passed in is external and kept
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
     report_from_pool(args)
 
