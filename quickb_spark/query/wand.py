@@ -24,13 +24,27 @@ merge exactly (a doc's full score is computed in exactly one range).
 
 The scorer decodes varbyte slices (NumPy), re-merges salted sub-lists per
 term (hot-term salting is a build-time artifact — queries see one logical
-posting list), recomputes block-max metadata on the merged arrays, and runs
-document-at-a-time WAND: a pivot is the first term (in current-docID order)
-at which accumulated upper bounds reach the running top-k threshold θ;
-everything before it is skipped via searchsorted jumps, and a block-level
-upper-bound check skips whole blocks. Pruning uses strict `< θ` so docs
-tying the kth score are still evaluated — results are EXACTLY the naive
-scorer's, including tie-breaks (verified in tests/test_segments_wand.py).
+posting list), recomputes block-max metadata on the merged arrays, and
+scores with one of three equivalent kernels (all bit-identical, including
+tie-breaks — verified in tests/test_segments_wand.py + test_wand_fuzz.py):
+
+  - `_exact_topk` — vectorized exhaustive accumulation; fastest below
+    ~2M postings per (query, range).
+  - `_blockmax_topk` — the auto path for bigger tasks: block-max pruning
+    vectorized as a θ-seed + block-boundary segment sweep that masks out
+    doc ranges whose summed block upper bounds can't reach the running
+    kth score, then exhaustive scoring of the survivors. NumPy end to
+    end — the same asymptotic win as WAND without per-doc Python cost.
+  - `_wand_topk` (strategy="wand") — classic document-at-a-time block-max
+    WAND: a pivot is the first term (in current-docID order) at which
+    accumulated upper bounds reach θ; everything before it is skipped via
+    searchsorted jumps, and a block-level upper-bound check skips whole
+    blocks. The literature-faithful DAAT loop, kept as the equivalence
+    baseline; its per-step interpreter cost loses to the vectorized
+    kernels on multi-million-posting tasks.
+
+All pruning uses strict `< θ` so docs tying the kth score are still
+evaluated — results are EXACTLY the naive scorer's.
 
 Correctness guardrails:
 - upper bounds come from (max_tf, min_dl): BM25 is monotonically increasing
