@@ -63,7 +63,17 @@ def run_level(cpus: int, corpus: str, work: str, cluster: bool = False) -> dict:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"worker cpus={cpus} failed")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    # stamp which engine version produced the trial: pairs recorded across
+    # code changes (e.g. a serving-path fix mid-pool) stay attributable
+    try:
+        r["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        r["commit"] = None
+    return r
 
 
 def main() -> None:
