@@ -57,6 +57,16 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         # with QKB_EXEC_CORES=2 for low-parallelism levels (N=2 vs 8)
         exec_cores = int(os.environ.get("QKB_EXEC_CORES", "4"))
         workers = max(1, cpus // exec_cores)
+        if workers * exec_cores != cpus:
+            # fail LOUDLY: a shape mismatch silently records a trial whose
+            # real core count differs from its `cpus` tag and poisons the
+            # pool (observed: QKB_EXEC_CORES unset ran the "2-core" level
+            # as local-cluster[1,4] — 4 cores — tagged cpus=2)
+            raise SystemExit(
+                f"cpus={cpus} is not workers*exec_cores with "
+                f"QKB_EXEC_CORES={exec_cores}; set QKB_EXEC_CORES so it "
+                f"divides every level"
+            )
         master = f"local-cluster[{workers},{exec_cores},14336]"
         driver_opts = os.environ.get(
             "QKB_DRIVER_JAVA_OPTS", "-Xms6g -XX:+AlwaysPreTouch"

@@ -43,10 +43,18 @@ def gen_corpus(path: str, n_docs: int) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, corpus: str, work: str, cluster: bool = False) -> dict:
+def run_level(
+    cpus: int, corpus: str, work: str, cluster: bool = False,
+    exec_cores: int = 2,
+) -> dict:
     env = dict(os.environ)
     if cluster:
         env["QKB_SCALE_CLUSTER"] = "1"
+        # explicit, not inherited: an ambient QKB_EXEC_CORES (or its
+        # absence) once ran a "2-core" level as local-cluster[1,4] —
+        # 4 real cores tagged cpus=2 — and the worker's shape check
+        # would now kill the level instead of recording it
+        env["QKB_EXEC_CORES"] = str(exec_cores)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench", "_scale_worker.py"),
          str(cpus), corpus, work],
@@ -100,6 +108,15 @@ def main() -> None:
         "mode=cluster and pooled separately from local[] trials",
     )
     ap.add_argument(
+        "--exec-cores",
+        type=int,
+        default=2,
+        help="cluster mode: cores per executor JVM (workers = level/this; "
+        "every level must be divisible by it). Passed to the worker "
+        "explicitly so an ambient QKB_EXEC_CORES can't change the "
+        "experiment shape mid-pool",
+    )
+    ap.add_argument(
         "--pool",
         default=os.path.join(REPO, "BENCH", "scaling_trials.jsonl"),
         help="append every trial here; the report covers every POOLED PAIR "
@@ -124,7 +141,10 @@ def main() -> None:
             pair_id = f"{session}#{pair}"
             for cpus in (args.n, args.n * 4):
                 print(f"pair {pair + 1}/{args.pairs}: level local[{cpus}] ...", flush=True)
-                r = run_level(cpus, corpus, work, cluster=args.cluster)
+                r = run_level(
+                    cpus, corpus, work, cluster=args.cluster,
+                    exec_cores=args.exec_cores,
+                )
                 r["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
                 r["n_docs"] = args.docs
                 r["pair"] = pair_id
@@ -160,30 +180,44 @@ def report_from_pool(args) -> None:
         if t.get("n_docs") == args.docs
         and t.get("mode", "local") == want_mode
     ]
-    by_shape: dict[int, dict[str, dict[int, dict]]] = {}
+    def _exec_of(t):
+        # executor shape from the recorded master: a [1,4] trial tagged
+        # cpus=2 must never pair with [1,2]/[4,2] trials (same core TAG,
+        # different real shape)
+        m = t.get("master", "")
+        if "local-cluster[" in m:
+            try:
+                return int(m.split("[", 1)[1].rstrip("]").split(",")[1])
+            except Exception:
+                return None
+        return None
+
+    by_shape: dict[tuple, dict[str, dict[int, dict]]] = {}
     for t in pool:
         if t.get("pair"):
             for base in {t["cpus"], t["cpus"] // 4}:
                 if base > 0:
-                    by_shape.setdefault(base, {}).setdefault(
+                    by_shape.setdefault((base, _exec_of(t)), {}).setdefault(
                         t["pair"], {}
                     )[t["cpus"]] = t
-    def _complete(base):
+    def _complete(shape):
+        base = shape[0]
         return {
             pid: levels
-            for pid, levels in sorted(by_shape.get(base, {}).items())
+            for pid, levels in sorted(by_shape.get(shape, {}).items())
             if base in levels and base * 4 in levels
         }
-    complete = _complete(args.n)
+    want_shape = (args.n, args.exec_cores if args.cluster else None)
+    complete = _complete(want_shape)
     if not complete:
         raise SystemExit("no complete matched pairs in the pool")
     companions = []
-    for base in sorted(by_shape):
-        if base == args.n:
+    for shape in sorted(by_shape, key=str):
+        if shape == want_shape:
             continue
-        comp = _complete(base)
+        comp = _complete(shape)
         if comp:
-            companions.append((base, comp))
+            companions.append((shape[0], comp))
     write_report(args, complete, companions)
 
 
