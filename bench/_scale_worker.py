@@ -211,6 +211,15 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     sys.path.insert(0, os.path.join(_REPO, "bench"))
     from _hostload import LoadMeter
 
+    # host-regime calibration: a fixed single-core kernel timed right
+    # before the build window. ext_cores only sees co-tenant load INSIDE
+    # this VM; host-side steal is invisible to it (both 2026-08-18 03:xx
+    # pairs ran every phase 8-60% slower at ext_cores 0.0). cal_sec makes
+    # regime drift between a pair's two windows visible in the raw JSON.
+    from _calibrate import calibrate
+
+    cal_sec, _cal_reps = calibrate(3)
+
     phases: dict = {}
     build_load = LoadMeter()
     build_load.start()
@@ -257,6 +266,9 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
                 # clean-pair gate reads ext_cores
                 "ext_cores": build_loadinfo["ext_cores"],
                 "own_cores": build_loadinfo["own_cores"],
+                # deterministic single-core kernel seconds just before the
+                # build window (bench/_calibrate.py): host-regime speed
+                "cal_sec": cal_sec,
                 "phases": phases,
             }
         )

@@ -377,7 +377,11 @@ misattribution floor, far below the 10+ of real bursts): co-tenant
 bursts inside one window slow that level alone, which no within-pair
 ratio can correct. The headline is the median over clean pairs when at
 least 3 exist (here: {len(clean)} clean of {len(rows)}); the all-pairs
-median is printed beside it.
+median is printed beside it. ext_cores cannot see HOST-side steal from
+outside this VM, so trials also record `cal_sec` — a fixed deterministic
+single-core kernel (bench/_calibrate.py) timed immediately before each
+build window; comparing a pair's two cal_sec values exposes regime drift
+between its windows in the raw JSON (older trials predate the field).
 
 **Indexing-throughput scaling efficiency (N -> 4N), median of
 {"clean" if use_clean else "all"} matched pairs: {med_eff:.3f}**
