@@ -103,6 +103,34 @@ def test_blockmax_empty_and_small():
     assert ids == t["docs"].tolist()
 
 
+def test_auto_ranges_policy():
+    """Fan-out policy: work-granule target, parallelism cap, memory floor,
+    and the idle-slot floor for small single queries — each regime pinned
+    so a future tweak that silently reroutes task sizes (the cause of the
+    2026-08-18 p50 cliff) fails here first."""
+    from quickb_spark.query.wand import (
+        MAX_RANGES,
+        RANGE_TARGET_POSTINGS,
+        _auto_ranges,
+    )
+
+    t = RANGE_TARGET_POSTINGS
+    # no parallelism hint: pure work-granule split, capped at MAX_RANGES
+    assert _auto_ranges(1) == 1
+    assert _auto_ranges(3 * t) == 3
+    assert _auto_ranges(10_000 * t) == MAX_RANGES
+    # parallelism cap: 2x slots unless the ~4x-target memory floor wins
+    assert _auto_ranges(30 * t, parallelism=2) == 8  # floor(30t/4t)=8 > 4
+    assert _auto_ranges(12 * t, parallelism=2) == 4  # cap 2*2 > floor 3
+    # big cluster: cap not binding, granule decides exactly as before
+    assert _auto_ranges(12 * t, parallelism=64) == 12
+    # idle-slot floor: a small query still spreads over free slots...
+    assert _auto_ranges(t // 2, parallelism=8) == 8
+    # ...but a trivial list does not fan out to the whole cluster
+    assert _auto_ranges(70_000, parallelism=64) == 2
+    assert _auto_ranges(10, parallelism=64) == 1
+
+
 def test_wand_empty_and_single():
     assert _wand_topk([], 10, 1.2, 0.75, 100.0) == ([], [])
     rng = np.random.RandomState(0)
