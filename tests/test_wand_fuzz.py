@@ -122,8 +122,9 @@ def test_auto_ranges_policy():
     # parallelism cap: 2x slots unless the ~4x-target memory floor wins
     assert _auto_ranges(30 * t, parallelism=2) == 8  # floor(30t/4t)=8 > 4
     assert _auto_ranges(12 * t, parallelism=2) == 4  # cap 2*2 > floor 3
-    # big cluster: cap not binding, granule decides exactly as before
-    assert _auto_ranges(12 * t, parallelism=64) == 12
+    # big cluster with idle slots: the slot floor spreads even a
+    # granule-sized query over the free slots, up to MAX_RANGES
+    assert _auto_ranges(12 * t, parallelism=64) == MAX_RANGES
     # idle-slot floor: a small query still spreads over free slots...
     assert _auto_ranges(t // 2, parallelism=8) == 8
     # ...but a trivial list does not fan out to the whole cluster
