@@ -54,7 +54,43 @@ def calibrate(reps: int = 3) -> tuple[float, list[float]]:
     return min(times), times
 
 
+def _mp_worker(reps: int) -> None:
+    for _ in range(reps):
+        _kernel()
+
+
+def concurrent_throughput(nprocs: int, reps: int = 2) -> float:
+    """Aggregate kernels/sec with `nprocs` concurrent single-core
+    processes — the box's ACHIEVABLE parallel speed in this window.
+
+    The single-process cal_sec can't see multi-core host steal: an
+    oversubscribed host can give 2 vCPUs nearly full speed while 8 vCPUs
+    fight for physical cores, which depresses the 4N build level and no
+    single-core meter notices. Running the same deterministic kernel on
+    nprocs processes measures exactly the ceiling the build faces at that
+    core count. (fork start method: workers inherit the loaded numpy, no
+    import cost inside the timed window.)"""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    procs = [
+        ctx.Process(target=_mp_worker, args=(reps,)) for _ in range(nprocs)
+    ]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t0
+    return nprocs * reps / wall
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     cal, reps = calibrate(n)
-    print(json.dumps({"cal_sec": cal, "reps": reps}))
+    out = {"cal_sec": cal, "reps": reps}
+    if len(sys.argv) > 2:  # optional: concurrent ceiling at K procs
+        k = int(sys.argv[2])
+        out["thr_1"] = round(concurrent_throughput(1), 3)
+        out[f"thr_{k}"] = round(concurrent_throughput(k), 3)
+    print(json.dumps(out))

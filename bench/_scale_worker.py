@@ -216,9 +216,14 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     # this VM; host-side steal is invisible to it (both 2026-08-18 03:xx
     # pairs ran every phase 8-60% slower at ext_cores 0.0). cal_sec makes
     # regime drift between a pair's two windows visible in the raw JSON.
-    from _calibrate import calibrate
+    from _calibrate import calibrate, concurrent_throughput
 
     cal_sec, _cal_reps = calibrate(3)
+    # the box's achievable aggregate speed at THIS trial's core count, in
+    # THIS window (kernels/sec over `cpus` concurrent processes): the
+    # within-pair ratio (thr_hi/thr_lo)/4 is the hardware scaling ceiling
+    # the pair's engine efficiency should be read against
+    cal_thr = concurrent_throughput(cpus, reps=2)
 
     phases: dict = {}
     build_load = LoadMeter()
@@ -269,6 +274,9 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
                 # deterministic single-core kernel seconds just before the
                 # build window (bench/_calibrate.py): host-regime speed
                 "cal_sec": cal_sec,
+                # aggregate kernels/sec over `cpus` concurrent processes
+                # in the same pre-build window
+                "cal_thr_cores": round(cal_thr, 3),
                 "phases": phases,
             }
         )

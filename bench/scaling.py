@@ -241,6 +241,15 @@ def _pair_rows(complete, n) -> list[dict]:
                 # max external busy cores (box-wide) over the pair's two
                 # build windows; None when the trial predates the meter
                 "ext": max(exts) if len(exts) == 2 else None,
+                # hardware scaling ceiling measured in the pair's own two
+                # windows: (aggregate kernel throughput at 4N cores /
+                # at N cores) / 4, from each trial's cal_thr_cores probe
+                # (bench/_calibrate.py); None when a trial predates it
+                "hw_ceil": (
+                    (hi["cal_thr_cores"] / lo["cal_thr_cores"]) / 4.0
+                    if lo.get("cal_thr_cores") and hi.get("cal_thr_cores")
+                    else None
+                ),
             }
         )
     return rows
@@ -302,6 +311,7 @@ def write_report(args, complete, companions=()) -> None:
         f"| {r['lo']['files_per_sec']} | {r['hi']['files_per_sec']} | **{r['eff']:.3f}** "
         f"| {r['lo']['query_batch_sec']} | {r['hi']['query_batch_sec']} | {r['q_eff']:.3f} "
         f"| {r['lo']['query_p50_sec']} / {r['hi']['query_p50_sec']} "
+        f"| {'n/a' if r['hw_ceil'] is None else format(r['hw_ceil'], '.3f')} "
         f"| {'n/a' if r['ext'] is None else r['ext']}"
         f"{'' if r['ext'] is None else (' ✓' if r['ext'] <= 3.0 else ' ✗')} |"
         for r in rows
@@ -395,11 +405,15 @@ Best absolute 4N build throughput: {best_thr['hi']['files_per_sec']}
 files/sec (pair {best_thr['pair']}).
 
 Per-pair results (every number below also appears in the raw JSON;
+hw ceil = the box's own N->4N scaling ceiling measured by the
+concurrent calibration kernel in the pair's two pre-build windows
+(bench/_calibrate.py; n/a = trial predates the probe) — a pair's engine
+eff should be read against its same-window hw ceil;
 ext = max external busy cores over the pair's two build windows,
 ✓ = clean under the 3.0-core gate):
 
-| pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | ext |
-|---|---|---|---|---|---|---|---|---|---|---|
+| pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | hw ceil | ext |
+|---|---|---|---|---|---|---|---|---|---|---|---|
 {pair_rows}
 
 Methodology (documented deviations and controls):
