@@ -25,16 +25,24 @@ merge exactly (a doc's full score is computed in exactly one range).
 The scorer decodes varbyte slices (NumPy), re-merges salted sub-lists per
 term (hot-term salting is a build-time artifact — queries see one logical
 posting list), recomputes block-max metadata on the merged arrays, and
-scores with one of three equivalent kernels (all bit-identical, including
+scores with one of four equivalent kernels (all bit-identical, including
 tie-breaks — verified in tests/test_segments_wand.py + test_wand_fuzz.py):
 
-  - `_exact_topk` — vectorized exhaustive accumulation; fastest below
-    ~2M postings per (query, range).
-  - `_blockmax_topk` — the auto path for bigger tasks: block-max pruning
-    vectorized as a θ-seed + block-boundary segment sweep that masks out
-    doc ranges whose summed block upper bounds can't reach the running
-    kth score, then exhaustive scoring of the survivors. NumPy end to
-    end — the same asymptotic win as WAND without per-doc Python cost.
+  - `_dense_topk` — the auto path: a shared sorted doc domain is built
+    ONCE per range, each term gets a precomputed dense index column, and
+    every query in the batch scores via buffered fancy-index adds into
+    one reused accumulator — no per-query sort or copy of shared posting
+    arrays. Above ~2M candidate postings it first applies the block-max
+    segment-sweep masks (`_blockmax_masks`), so pruning composes with
+    the dense path.
+  - `_exact_topk` — vectorized exhaustive accumulation over its own
+    concatenated postings; the self-contained baseline (strategy=
+    "exact") the others are fuzz-compared against.
+  - `_blockmax_topk` — block-max pruning vectorized as a θ-seed +
+    block-boundary segment sweep that masks out doc ranges whose summed
+    block upper bounds can't reach the running kth score, then exhaustive
+    scoring of the survivors. NumPy end to end — the same asymptotic win
+    as WAND without per-doc Python cost.
   - `_wand_topk` (strategy="wand") — classic document-at-a-time block-max
     WAND: a pivot is the first term (in current-docID order) at which
     accumulated upper bounds reach θ; everything before it is skipped via
@@ -234,9 +242,32 @@ def _blockmax_topk(terms, k, k1, b, avgdl):
     summation order can't promote it past the exact path's kth score), so
     ties at the kth score survive — bit-identical results to `_exact_topk`
     including tie-breaks (fuzz-tested in tests/test_wand_fuzz.py)."""
+    masks = _blockmax_masks(terms, k, k1, b, avgdl)
+    if masks is None:
+        return _exact_topk(terms, k)  # fewer docs than k: nothing to prune
+
+    # mask each term's postings to surviving segments, score exactly
+    pruned = []
+    for t, m in zip(terms, masks):
+        if m is None:
+            pruned.append(t)
+        elif m.any():
+            pruned.append({"docs": t["docs"][m], "scores": t["scores"][m]})
+    return _exact_topk(pruned, k)
+
+
+def _blockmax_masks(terms, k, k1, b, avgdl):
+    """Steps 1-2 of the vectorized block-max pruner: per-term boolean
+    keep-masks over postings (None entry = keep whole term). Returns None
+    when fewer than k candidate docs exist (no valid θ, nothing prunable).
+
+    A mask drops a doc only when the summed covering-block upper bounds of
+    its docID segment fall strictly below θ; a doc is dropped from EVERY
+    term or from none (segments are shared across terms), so the surviving
+    docs' scores keep their full, order-identical contribution sums."""
     nt = len(terms)
     if nt == 0:
-        return [], []
+        return None
 
     # 1. θ seed from a strong candidate pool
     cands = []
@@ -249,7 +280,7 @@ def _blockmax_topk(terms, k, k1, b, avgdl):
         cands.append(t["docs"][idx])
     cand = np.unique(np.concatenate(cands))
     if len(cand) < k:
-        return _exact_topk(terms, k)  # fewer docs than k: nothing to prune
+        return None
     tot = np.zeros(len(cand))
     for t in terms:
         d = t["docs"]
@@ -279,24 +310,87 @@ def _blockmax_topk(terms, k, k1, b, avgdl):
         seg_ub[valid] += bub[np.minimum(ix, len(bld) - 1)][valid]
     keep_seg = seg_ub >= theta
 
-    # 3. mask each term's postings to surviving segments, score exactly
-    pruned = []
+    masks = []
     for t in terms:
         m = keep_seg[np.searchsorted(bounds, t["docs"], "left")]
-        if m.all():
-            pruned.append(t)
-        elif m.any():
-            pruned.append({"docs": t["docs"][m], "scores": t["scores"][m]})
-    return _exact_topk(pruned, k)
+        masks.append(None if m.all() else m)
+    return masks
 
 
-#: below this many candidate postings per (query, range) task, the plain
-#: vectorized exhaustive scorer wins (the θ-seed + segment sweep of
-#: `_blockmax_topk` costs a few extra passes that only pay for themselves
-#: once the posting volume is large enough for pruning to bite). Each task
-#: decodes only its block-aligned slice, so decode cost is already bounded
-#: by the range split; above the threshold, block-max pruning saves the
-#: unique/lexsort over postings that can't reach the top k.
+def _dense_topk(terms, k, domain, acc, prune, k1, b, avgdl):
+    """Shared-domain dense accumulation: the batch scorer's fast path.
+
+    `terms` carry a `dense` column — each posting's index into `domain`,
+    the range's shared sorted docID array (built once per range);
+    `acc` is a reusable float64 buffer of len(domain), zero between
+    calls. Scoring is then linear passes with NO per-query sort of
+    posting-sized arrays and NO per-query copies of shared posting
+    arrays: `acc[t.dense] += t.scores` per term (posting lists are
+    doc-unique within a term, so the buffered fancy-index add is exact),
+    candidate collection, a kth-threshold cut, and a tiny survivor sort.
+    This is what makes a 50-query batch cheap when every query shares
+    the same Zipf-hot terms: the round-2/3 per-query
+    `concatenate`+`unique(return_inverse)`+`np.add.at`+`lexsort` path
+    re-materialized a hot term's slice once PER QUERY.
+
+    With `prune` (big candidate sets), the block-max segment sweep
+    (`_blockmax_masks`) drops can't-reach-θ docID segments before the
+    adds — the same lossless block-max pruning, composed with the dense
+    path.
+
+    Bit-identical to `_exact_topk`: for any doc the adds happen in the
+    same order (term-major here == concatenation order there — all of
+    term 0's contributions land before term 1's), fp addition is
+    deterministic given order, and ties at the kth score are resolved by
+    the same (score desc, doc asc) order over the exact candidate set
+    (`dense` indices into a sorted domain order exactly like docIDs).
+    Fuzz + tie-heavy + ∀R tests cover this."""
+    if not terms:
+        return [], []
+    masks = _blockmax_masks(terms, k, k1, b, avgdl) if prune else None
+    touched = []
+    for i, t in enumerate(terms):
+        m = masks[i] if masks is not None else None
+        if m is None:
+            idx = t["dense"]
+            acc[idx] += t["scores"]
+        else:
+            idx = t["dense"][m]
+            acc[idx] += t["scores"][m]
+        touched.append(idx)
+    total = sum(len(ix) for ix in touched)
+    if 8 * total < len(domain):
+        # sparse query in a big shared domain: sort its own indices
+        cand = np.unique(np.concatenate(touched)) if total else np.empty(
+            0, np.int64
+        )
+    else:
+        # dense query: one linear scan beats sorting per-query indices,
+        # and emerges already in docID order
+        mark = np.zeros(len(domain), dtype=bool)
+        for ix in touched:
+            mark[ix] = True
+        cand = np.nonzero(mark)[0]
+    vals = acc[cand]  # fancy index -> copy, safe across the reset below
+    for ix in touched:
+        acc[ix] = 0.0
+    if len(cand) == 0:
+        return [], []
+    if len(cand) > k:
+        kth = np.partition(vals, -k)[-k]
+        sel = vals >= kth
+        cand, vals = cand[sel], vals[sel]
+    order = np.lexsort((cand, -vals))[:k]
+    return domain[cand[order]].tolist(), vals[order].tolist()
+
+
+#: below this many candidate postings per (query, range) task, plain
+#: accumulation wins (the θ-seed + segment sweep of `_blockmax_masks`
+#: costs a few extra passes that only pay for themselves once the posting
+#: volume is large enough for pruning to bite). Each task decodes only its
+#: block-aligned slice, so decode cost is already bounded by the range
+#: split; above the threshold, block-max pruning skips the accumulation
+#: work for postings that can't reach the top k.
 AUTO_EXACT_MAX_POSTINGS = 2_000_000
 
 #: auto range split: one docID range per this many candidate postings.
@@ -371,6 +465,8 @@ def _make_batch_scorer(
                 "block_max_tf": max_tf,
                 "block_min_dl": min_dl,
             }
+        domain = None  # shared dense doc domain, built on first auto query
+        acc = None
         out_q: list[str] = []
         out_d: list[int] = []
         out_s: list[float] = []
@@ -386,9 +482,21 @@ def _make_batch_scorer(
                 # explicit DAAT pointer-chasing WAND (reference algorithm;
                 # equivalence-tested, but Python-loop slow on big tasks)
                 doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
-            elif strategy == "auto" and total > AUTO_EXACT_MAX_POSTINGS:
-                # vectorized block-max pruning: NumPy-speed on big tasks
-                doc_ids, scores = _blockmax_topk(terms, k, k1, b, avgdl)
+            elif strategy == "auto":
+                if domain is None:
+                    # once per range: union doc domain + per-term dense
+                    # indices into it; every query then scores via buffered
+                    # adds into one reused accumulator (see _dense_topk)
+                    domain = np.unique(
+                        np.concatenate([s["docs"] for s in structs.values()])
+                    )
+                    for s in structs.values():
+                        s["dense"] = np.searchsorted(domain, s["docs"])
+                    acc = np.zeros(len(domain))
+                doc_ids, scores = _dense_topk(
+                    terms, k, domain, acc,
+                    total > AUTO_EXACT_MAX_POSTINGS, k1, b, avgdl,
+                )
             else:
                 doc_ids, scores = _exact_topk(terms, k)
             out_q.extend([qid] * len(doc_ids))

@@ -103,6 +103,55 @@ def test_blockmax_empty_and_small():
     assert ids == t["docs"].tolist()
 
 
+def test_dense_equals_exact_fuzz():
+    """The shared-domain dense batch kernel must be bit-identical to the
+    exhaustive scorer — across a reused accumulator (stale residue from a
+    previous query would corrupt the next), with and without block-max
+    pruning, including kth-ties and 63-bit ids."""
+    from quickb_spark.query.wand import _dense_topk
+
+    for trial in range(40):
+        rng = np.random.RandomState(3000 + trial)
+        n = int(rng.choice([50, 500, 3000]))
+        big = trial % 2 == 1
+        pool = [
+            _mk_term(rng, n, rng.randint(1, n + 1), big_ids=big)
+            for _ in range(rng.randint(2, 7))
+        ]
+        if trial % 3 == 0:  # tie-heavy variant
+            for t in pool:
+                t["tfs"][:] = 3
+                t["dls"][:] = 100
+                last, mtf, mdl = block_meta(t["docs"], t["tfs"], t["dls"], 32)
+                t["block_last_doc"], t["block_max_tf"], t["block_min_dl"] = (
+                    last, mtf, mdl,
+                )
+                t["scores"] = (
+                    t["idf"] * t["tfs"] * 2.2
+                    / (t["tfs"] + 1.2 * (0.25 + 0.75 * t["dls"] / 100.0))
+                )
+        # once per "range": shared domain + dense indices + accumulator,
+        # exactly as _make_batch_scorer wires it
+        domain = np.unique(np.concatenate([t["docs"] for t in pool]))
+        for t in pool:
+            t["dense"] = np.searchsorted(domain, t["docs"])
+        acc = np.zeros(len(domain))
+        # several "queries" over term subsets REUSING the same accumulator
+        for q in range(4):
+            nt = rng.randint(1, len(pool) + 1)
+            terms = [pool[i] for i in rng.permutation(len(pool))[:nt]]
+            for k in (1, 3, 10):
+                for prune in (False, True):
+                    idn, sdn = _dense_topk(
+                        terms, k, domain, acc, prune, 1.2, 0.75, 100.0
+                    )
+                    ie, se = _exact_topk(terms, k)
+                    assert idn == ie, (trial, q, k, prune)
+                    assert sdn == se, (trial, q, k, prune)  # bit-identical
+    assert _dense_topk([], 10, np.empty(0, np.int64), np.empty(0), False,
+                       1.2, 0.75, 100.0) == ([], [])
+
+
 def test_auto_ranges_policy():
     """Fan-out policy: work-granule target, parallelism cap, memory floor,
     and the idle-slot floor for small single queries — each regime pinned
