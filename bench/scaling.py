@@ -281,7 +281,21 @@ def write_report(args, complete, companions=()) -> None:
     # own load (bench/_hostload.py calibration) and far below the 10+ cores
     # real co-tenant bursts measure
     EXT_GATE = 3.0
-    clean = [r for r in rows if r["ext"] is not None and r["ext"] <= EXT_GATE]
+    # HW-CEILING GATE: the concurrent calibration kernel measures the
+    # box's OWN N->4N scaling in each pair's two pre-build windows
+    # ((thr_hi/thr_lo)/4, engine-independent). Quiet windows measure
+    # 0.93-1.0 on this kernel at 2->8 procs; host-steal windows measure
+    # ~0.4 (pair 20260818-040148#0: 0.402 with ext_cores 0.0 — steal is
+    # INVISIBLE to the in-VM load meter). A pair whose window can't scale
+    # the fixed kernel cannot measure engine scaling, whatever the
+    # engine does. Pairs predating the probe pass this gate (hw None),
+    # exactly as pre-meter pairs pass the ext gate.
+    HW_GATE = 0.75
+    clean = [
+        r for r in rows
+        if r["ext"] is not None and r["ext"] <= EXT_GATE
+        and (r["hw_ceil"] is None or r["hw_ceil"] >= HW_GATE)
+    ]
     effs = sorted(r["eff"] for r in rows)
     med_all = _median(effs)
     med_clean = _median([r["eff"] for r in clean]) if clean else None
@@ -313,7 +327,7 @@ def write_report(args, complete, companions=()) -> None:
         f"| {r['lo']['query_p50_sec']} / {r['hi']['query_p50_sec']} "
         f"| {'n/a' if r['hw_ceil'] is None else format(r['hw_ceil'], '.3f')} "
         f"| {'n/a' if r['ext'] is None else r['ext']}"
-        f"{'' if r['ext'] is None else (' ✓' if r['ext'] <= 3.0 else ' ✗')} |"
+        f"{' ✓' if r in clean else ' ✗'} |"
         for r in rows
     )
     raw = "\n".join(
@@ -323,7 +337,9 @@ def write_report(args, complete, companions=()) -> None:
     for base, comp in companions:
         crows = _pair_rows(comp, base)
         cclean = [
-            r for r in crows if r["ext"] is not None and r["ext"] <= 3.0
+            r for r in crows
+            if r["ext"] is not None and r["ext"] <= 3.0
+            and (r["hw_ceil"] is None or r["hw_ceil"] >= 0.75)
         ]
         cuse = cclean if len(cclean) >= 3 else crows
         comp_lines.append(
@@ -385,13 +401,18 @@ this process tree's jiffies (bench/_hostload.py). A pair is CLEAN when
 neither of its build windows saw more than 3.0 external cores (above the meter's ~1.5-core
 misattribution floor, far below the 10+ of real bursts): co-tenant
 bursts inside one window slow that level alone, which no within-pair
-ratio can correct. The headline is the median over clean pairs when at
-least 3 exist (here: {len(clean)} clean of {len(rows)}); the all-pairs
-median is printed beside it. ext_cores cannot see HOST-side steal from
-outside this VM, so trials also record `cal_sec` — a fixed deterministic
-single-core kernel (bench/_calibrate.py) timed immediately before each
-build window; comparing a pair's two cal_sec values exposes regime drift
-between its windows in the raw JSON (older trials predate the field).
+ratio can correct. ext_cores cannot see HOST-side steal from outside
+this VM, so each trial also runs the concurrent calibration kernel
+(bench/_calibrate.py) right before its build window; a pair's
+hardware-scaling ceiling ((thr@4N / thr@N) / 4, `hw ceil` below) is the
+box's OWN N->4N scaling in that pair's windows, independent of the
+engine. Quiet windows measure 0.93-1.0 at 2->8 procs; host-steal
+windows measure ~0.4 with ext_cores 0.0 (e.g. pair 20260818-040148#0).
+A pair is CLEAN when its windows saw <=3.0 external cores AND a
+hardware ceiling >=0.75 (pairs predating either probe pass that probe's
+gate). The headline is the median over clean pairs when at least 3
+exist (here: {len(clean)} clean of {len(rows)}); the all-pairs median
+is printed beside it.
 
 **Indexing-throughput scaling efficiency (N -> 4N), median of
 {"clean" if use_clean else "all"} matched pairs: {med_eff:.3f}**
@@ -410,7 +431,7 @@ concurrent calibration kernel in the pair's two pre-build windows
 (bench/_calibrate.py; n/a = trial predates the probe) — a pair's engine
 eff should be read against its same-window hw ceil;
 ext = max external busy cores over the pair's two build windows,
-✓ = clean under the 3.0-core gate):
+✓ = clean under the full gate: ext <= 3.0 AND hw ceil >= 0.75):
 
 | pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | hw ceil | ext |
 |---|---|---|---|---|---|---|---|---|---|---|---|
