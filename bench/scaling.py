@@ -283,14 +283,20 @@ def write_report(args, complete, companions=()) -> None:
     EXT_GATE = 3.0
     # HW-CEILING GATE: the concurrent calibration kernel measures the
     # box's OWN N->4N scaling in each pair's two pre-build windows
-    # ((thr_hi/thr_lo)/4, engine-independent). Quiet windows measure
-    # 0.93-1.0 on this kernel at 2->8 procs; host-steal windows measure
-    # ~0.4 (pair 20260818-040148#0: 0.402 with ext_cores 0.0 — steal is
-    # INVISIBLE to the in-VM load meter). A pair whose window can't scale
-    # the fixed kernel cannot measure engine scaling, whatever the
-    # engine does. Pairs predating the probe pass this gate (hw None),
-    # exactly as pre-meter pairs pass the ext gate.
-    HW_GATE = 0.75
+    # ((thr_hi/thr_lo)/4, engine-independent). The kernel is half
+    # DRAM-bound by design, so even quiet windows read 0.65-1.0 at 2->8
+    # procs (its sort leg saturates the one memory controller — the same
+    # 0.52-0.62 floor the multiprocessing merge-kernel controls measure);
+    # host-steal windows read ~0.4 (pair 20260818-040148#0: 0.402 with
+    # ext_cores 0.0 — steal is INVISIBLE to the in-VM load meter, and a
+    # clean pair in the same hour scaled the engine itself 0.880 under a
+    # 0.652 kernel reading). The gate is therefore 0.5: below every
+    # quiet-window reading ever recorded, above every steal reading. A
+    # pair whose window can't scale the fixed kernel past that cannot
+    # measure engine scaling, whatever the engine does. Pairs predating
+    # the probe pass this gate (hw None), as pre-meter pairs pass the
+    # ext gate.
+    HW_GATE = 0.5
     clean = [
         r for r in rows
         if r["ext"] is not None and r["ext"] <= EXT_GATE
@@ -339,7 +345,7 @@ def write_report(args, complete, companions=()) -> None:
         cclean = [
             r for r in crows
             if r["ext"] is not None and r["ext"] <= 3.0
-            and (r["hw_ceil"] is None or r["hw_ceil"] >= 0.75)
+            and (r["hw_ceil"] is None or r["hw_ceil"] >= 0.5)
         ]
         cuse = cclean if len(cclean) >= 3 else crows
         comp_lines.append(
@@ -406,13 +412,16 @@ this VM, so each trial also runs the concurrent calibration kernel
 (bench/_calibrate.py) right before its build window; a pair's
 hardware-scaling ceiling ((thr@4N / thr@N) / 4, `hw ceil` below) is the
 box's OWN N->4N scaling in that pair's windows, independent of the
-engine. Quiet windows measure 0.93-1.0 at 2->8 procs; host-steal
-windows measure ~0.4 with ext_cores 0.0 (e.g. pair 20260818-040148#0).
-A pair is CLEAN when its windows saw <=3.0 external cores AND a
-hardware ceiling >=0.75 (pairs predating either probe pass that probe's
-gate). The headline is the median over clean pairs when at least 3
-exist (here: {len(clean)} clean of {len(rows)}); the all-pairs median
-is printed beside it.
+engine. The kernel is half DRAM-bound by design, so quiet windows read
+0.65-1.0 at 2->8 procs (one shared memory controller); host-steal
+windows read ~0.4 with ext_cores 0.0 (e.g. pair 20260818-040148#0 —
+while a clean same-hour pair scaled the engine itself 0.880 under a
+0.652 kernel reading). A pair is CLEAN when its windows saw <=3.0
+external cores AND a hardware ceiling >=0.5 — below every quiet-window
+reading recorded, above every steal reading (pairs predating either
+probe pass that probe's gate). The headline is the median over clean
+pairs when at least 3 exist (here: {len(clean)} clean of {len(rows)});
+the all-pairs median is printed beside it.
 
 **Indexing-throughput scaling efficiency (N -> 4N), median of
 {"clean" if use_clean else "all"} matched pairs: {med_eff:.3f}**
@@ -431,7 +440,7 @@ concurrent calibration kernel in the pair's two pre-build windows
 (bench/_calibrate.py; n/a = trial predates the probe) — a pair's engine
 eff should be read against its same-window hw ceil;
 ext = max external busy cores over the pair's two build windows,
-✓ = clean under the full gate: ext <= 3.0 AND hw ceil >= 0.75):
+✓ = clean under the full gate: ext <= 3.0 AND hw ceil >= 0.5):
 
 | pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | hw ceil | ext |
 |---|---|---|---|---|---|---|---|---|---|---|---|
