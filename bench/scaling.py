@@ -250,6 +250,17 @@ def _pair_rows(complete, n) -> list[dict]:
                     if lo.get("cal_thr_cores") and hi.get("cal_thr_cores")
                     else None
                 ),
+                # single-core regime drift between the pair's two windows:
+                # cal_sec@4N / cal_sec@N (bench/_calibrate.py's fixed
+                # kernel). 1.0 = same regime; far from 1.0 means the pair
+                # compared different machines — a slow N window INFLATES
+                # pair efficiency just as surely as a slow 4N window
+                # deflates it. None when a trial predates the probe.
+                "cal_drift": (
+                    hi["cal_sec"] / lo["cal_sec"]
+                    if lo.get("cal_sec") and hi.get("cal_sec")
+                    else None
+                ),
             }
         )
     return rows
@@ -297,10 +308,22 @@ def write_report(args, complete, companions=()) -> None:
     # the probe pass this gate (hw None), as pre-meter pairs pass the
     # ext gate.
     HW_GATE = 0.5
+    # REGIME-DRIFT GATE (symmetric — it cuts pairs whose eff is inflated
+    # in our favor just as it cuts deflated ones): the single-core
+    # cal_sec must agree between a pair's two windows to within 25%
+    # (recorded quiet-window spread is +-3%; the first drift casualty,
+    # pair 20260818-043310#1, read 1.32s @N vs 0.81s @4N — a 1.6x-slow
+    # N window that INFLATED its build eff to 0.852, which this gate
+    # discards even though keeping it would raise the median).
+    DRIFT_LO, DRIFT_HI = 0.8, 1.25
     clean = [
         r for r in rows
         if r["ext"] is not None and r["ext"] <= EXT_GATE
         and (r["hw_ceil"] is None or r["hw_ceil"] >= HW_GATE)
+        and (
+            r["cal_drift"] is None
+            or DRIFT_LO <= r["cal_drift"] <= DRIFT_HI
+        )
     ]
     effs = sorted(r["eff"] for r in rows)
     med_all = _median(effs)
@@ -332,6 +355,7 @@ def write_report(args, complete, companions=()) -> None:
         f"| {r['lo']['query_batch_sec']} | {r['hi']['query_batch_sec']} | {r['q_eff']:.3f} "
         f"| {r['lo']['query_p50_sec']} / {r['hi']['query_p50_sec']} "
         f"| {'n/a' if r['hw_ceil'] is None else format(r['hw_ceil'], '.3f')} "
+        f"| {'n/a' if r['cal_drift'] is None else format(r['cal_drift'], '.2f')} "
         f"| {'n/a' if r['ext'] is None else r['ext']}"
         f"{' ✓' if r in clean else ' ✗'} |"
         for r in rows
@@ -346,6 +370,7 @@ def write_report(args, complete, companions=()) -> None:
             r for r in crows
             if r["ext"] is not None and r["ext"] <= 3.0
             and (r["hw_ceil"] is None or r["hw_ceil"] >= 0.5)
+            and (r["cal_drift"] is None or 0.8 <= r["cal_drift"] <= 1.25)
         ]
         cuse = cclean if len(cclean) >= 3 else crows
         comp_lines.append(
@@ -416,12 +441,20 @@ engine. The kernel is half DRAM-bound by design, so quiet windows read
 0.65-1.0 at 2->8 procs (one shared memory controller); host-steal
 windows read ~0.4 with ext_cores 0.0 (e.g. pair 20260818-040148#0 —
 while a clean same-hour pair scaled the engine itself 0.880 under a
-0.652 kernel reading). A pair is CLEAN when its windows saw <=3.0
-external cores AND a hardware ceiling >=0.5 — below every quiet-window
-reading recorded, above every steal reading (pairs predating either
-probe pass that probe's gate). The headline is the median over clean
-pairs when at least 3 exist (here: {len(clean)} clean of {len(rows)});
-the all-pairs median is printed beside it.
+0.652 kernel reading). The same kernel's single-core time (`cal_sec`)
+exposes regime DRIFT between a pair's two windows: quiet windows agree
+to +-3%, so a drift ratio far from 1.0 means the pair compared two
+different machines — and a slow N window INFLATES pair efficiency just
+as surely as a slow 4N window deflates it. A pair is CLEAN when its
+windows saw <=3.0 external cores AND a hardware ceiling >=0.5 (below
+every quiet-window reading recorded, above every steal reading) AND
+single-core drift within [0.8, 1.25]; pairs predating a probe pass
+that probe's gate. The drift gate is symmetric in practice, not just
+principle: its first casualty (pair 20260818-043310#1, drift 0.62) had
+its eff INFLATED to 0.852 by a 1.6x-slow N window, and discarding it
+LOWERS the pool median. The headline is the median over clean pairs
+when at least 3 exist (here: {len(clean)} clean of {len(rows)}); the
+all-pairs median is printed beside it.
 
 **Indexing-throughput scaling efficiency (N -> 4N), median of
 {"clean" if use_clean else "all"} matched pairs: {med_eff:.3f}**
@@ -439,11 +472,15 @@ hw ceil = the box's own N->4N scaling ceiling measured by the
 concurrent calibration kernel in the pair's two pre-build windows
 (bench/_calibrate.py; n/a = trial predates the probe) — a pair's engine
 eff should be read against its same-window hw ceil;
+drift = cal_sec@4N / cal_sec@N, the single-core regime ratio between
+the pair's two windows (1.0 = same regime; quiet spread is +-3%);
 ext = max external busy cores over the pair's two build windows,
-✓ = clean under the full gate: ext <= 3.0 AND hw ceil >= 0.5):
+✓ = clean under the full gate: ext <= 3.0 AND hw ceil >= 0.5 AND
+drift in [0.8, 1.25] — the drift gate is symmetric and has already
+discarded a pair whose slow N window INFLATED its eff to 0.852):
 
-| pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | hw ceil | ext |
-|---|---|---|---|---|---|---|---|---|---|---|---|
+| pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | hw ceil | drift | ext |
+|---|---|---|---|---|---|---|---|---|---|---|---|---|
 {pair_rows}
 
 Methodology (documented deviations and controls):

@@ -102,3 +102,29 @@ def test_searcher_df_cache_short_circuits(spark, built):
     # second call with the same queries must not add lookups
     s.topk(fixture_queries()[:4], k=5).count()
     assert s._df_cache == warm
+
+
+def test_searcher_refresh_resnapshots_index(spark, tmp_path):
+    """refresh() must drop every cached snapshot (stats, segment/lexicon
+    file listings, df cache): after the index dir is rebuilt with a
+    different corpus, a refreshed Searcher serves exactly what a brand-new
+    Searcher on the new index serves."""
+    import shutil
+
+    idx = str(tmp_path / "refresh_idx")
+    docs_a = generate_documents_df(spark, 120, seed=3, partitions=2)
+    build_index(spark, index_dir=idx, cfg=CFG, documents=docs_a)
+    s = Searcher(spark, idx)
+    before = _ranked(s.topk(fixture_queries()[:6], k=10))
+    old_n_docs = s.stats["n_docs"]
+
+    shutil.rmtree(idx)
+    docs_b = generate_documents_df(spark, 260, seed=11, partitions=2)
+    build_index(spark, index_dir=idx, cfg=CFG, documents=docs_b)
+
+    s.refresh()
+    after = _ranked(s.topk(fixture_queries()[:6], k=10))
+    want = _ranked(Searcher(spark, idx).topk(fixture_queries()[:6], k=10))
+    assert after == want
+    assert after != before  # the corpus actually changed under it
+    assert s.stats["n_docs"] != old_n_docs  # stats re-snapshotted
