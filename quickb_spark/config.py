@@ -100,6 +100,12 @@ class IndexConfig:
     #: stragglers. ~250k postings ≈ a few MB of checkpoint parquet; raise
     #: it on real clusters where 64-128MB files are the sweet spot.
     subgroup_target_postings: int = 250_000
+    #: Phase-2 merge task memory budget (index/p2_direct.py). A bucket whose
+    #: estimated decoded working set exceeds this is term-granularly split
+    #: (each split filters its terms per run at read time, so the split IS a
+    #: memory bound); a bucket that would need >256 splits fails fast with a
+    #: term_buckets prescription instead of OOMing the wave.
+    p2_task_mem_bytes: int = 4 << 30
     #: Target CORPUS bytes per direct phase-1 task (index/p1_direct.py).
     #: Deliberately cluster-size-INDEPENDENT, like Spark's own
     #: maxPartitionBytes input splits: sizing tasks by core count would
@@ -116,6 +122,8 @@ class IndexConfig:
             raise ValueError("salt_buckets/block_size/term_buckets must be >= 1")
         if self.subgroup_target_postings < 1:
             raise ValueError("subgroup_target_postings must be >= 1")
+        if self.p2_task_mem_bytes < 1 << 20:
+            raise ValueError("p2_task_mem_bytes must be >= 1 MiB")
         if self.p1_task_bytes < 1:
             raise ValueError("p1_task_bytes must be >= 1")
 

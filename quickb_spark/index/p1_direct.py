@@ -193,6 +193,9 @@ class _TaskAccumulator:
             tid_list.append(tid)
             self.tfs.append(len(plist))
             self.flat_pos.extend(plist)
+        # doc_len is NOT carried per posting: runs stay 8 bytes/posting
+        # lighter and the phase-2 merge (the DRAM-bound phase) re-attaches
+        # it from the doc-stats runs at encode time (p2_direct)
         self.c_seed.append(prefix_seed)
         self.c_idx.append(chunk_idx)
         self.c_dl.append(len(toks))
@@ -218,7 +221,6 @@ class _TaskAccumulator:
                 self.id2hash[np.asarray(self.term_id, dtype=np.int64)],
                 np.repeat(doc_ids, nt),
                 np.asarray(self.tfs, dtype=np.int32),
-                np.repeat(dls, nt),
                 buf,
                 off,
             )
@@ -228,20 +230,19 @@ class _TaskAccumulator:
         self.reset()
 
     def concat(self):
-        """-> (term_h, doc_id, tf, doc_len, pos_buf, pos_off) over the
-        whole task, plus per-chunk (doc_id, doc_len)."""
+        """-> (term_h, doc_id, tf, pos_buf, pos_off) over the whole task,
+        plus per-chunk (doc_id, doc_len)."""
         if not self.parts:
             z = np.empty(0, dtype=np.int64)
             return (
-                z, z, z.astype(np.int32), z, b"",
+                z, z, z.astype(np.int32), b"",
                 np.zeros(1, dtype=np.int64), z, z,
             )
         th = np.concatenate([p[0] for p in self.parts])
         did = np.concatenate([p[1] for p in self.parts])
         tf = np.concatenate([p[2] for p in self.parts])
-        dl = np.concatenate([p[3] for p in self.parts])
-        bufs = [p[4] for p in self.parts]
-        offs = [p[5] for p in self.parts]
+        bufs = [p[3] for p in self.parts]
+        offs = [p[4] for p in self.parts]
         sizes = np.array([len(b) for b in bufs], dtype=np.int64)
         base = np.zeros(len(bufs), dtype=np.int64)
         np.cumsum(sizes[:-1], out=base[1:])
@@ -251,7 +252,7 @@ class _TaskAccumulator:
         pos_buf = b"".join(bufs)
         cid = np.concatenate(self.chunk_ids)
         cdl = np.concatenate(self.chunk_dls)
-        return th, did, tf, dl, pos_buf, pos_off, cid, cdl
+        return th, did, tf, pos_buf, pos_off, cid, cdl
 
 
 def _p1_task(
@@ -330,7 +331,7 @@ def _p1_task(
                         acc.flush()
                         pending = 0
     acc.flush()
-    term_h, doc_id, tf, doc_len, pos_buf, pos_off, cid, cdl = acc.concat()
+    term_h, doc_id, tf, pos_buf, pos_off, cid, cdl = acc.concat()
     n = len(term_h)
 
     # salt (bit-identical to the JVM column: pmod(xxhash64(doc_id), sb) for
@@ -352,10 +353,13 @@ def _p1_task(
     salt_s = salt[order]
     doc_s = doc_id[order]
     tf_s = tf[order]
-    dl_s = doc_len[order]
     pos_vals, pos_off_s = _gather_slices(pos_buf, pos_off, order)
 
-    # one run per present bucket, rows already contiguous after the sort
+    # one run per present bucket, rows already contiguous after the sort.
+    # doc_len is deliberately NOT a run column (p2_direct re-attaches it
+    # from the doc-stats runs): the merge phase is DRAM-bound, and not
+    # carrying 8 bytes/posting through its read+concat+gather was the one
+    # engine-side lever the round-3 phase decomposition identified.
     bounds = np.searchsorted(bucket_s, np.arange(nb + 1), side="left")
     for b in range(nb):
         lo, hi = int(bounds[b]), int(bounds[b + 1])
@@ -368,7 +372,6 @@ def _p1_task(
                 "salt": pa.array(salt_s[lo:hi], type=pa.int32()),
                 "doc_id": pa.array(doc_s[lo:hi], type=pa.int64()),
                 "tf": pa.array(tf_s[lo:hi], type=pa.int32()),
-                "doc_len": pa.array(dl_s[lo:hi], type=pa.int64()),
                 "pos_vb": _binary_array(
                     pos_vals[int(pos_off_s[lo]) : int(pos_off_s[hi])], off_b
                 ),
@@ -490,12 +493,34 @@ def _sample_task(
     df: Counter = Counter()
     n_chunks = 0
     n_postings = 0
+    # Row-group-pruned read: the sampled slice is a deterministic function
+    # of the file's row count alone, so only the row groups covering
+    # [lo, lo+take) are fetched — same sampled rows as a whole-file read
+    # (asserted in tests/test_p1_direct.py), a fraction of the bytes. At a
+    # 2% sample this cuts most of phase 0's read volume.
     with fsys.open_input_file(path) as f:
-        tbl = pq.read_table(f, columns=["lang", "content"])
-    n = tbl.num_rows
-    lo = (n * k) // nk
-    take = max(1, int(round(n * per_file_frac / nk))) if n else 0
-    sl = tbl.slice(lo, max(0, min(take, n - lo)))
+        pf = pq.ParquetFile(f)
+        n = pf.metadata.num_rows
+        lo = (n * k) // nk
+        take = max(1, int(round(n * per_file_frac / nk))) if n else 0
+        take = max(0, min(take, n - lo))
+        rg_rows = [
+            pf.metadata.row_group(i).num_rows
+            for i in range(pf.num_row_groups)
+        ]
+        rg_starts = [0]
+        for c in rg_rows:
+            rg_starts.append(rg_starts[-1] + c)
+        pick = [
+            i
+            for i in range(len(rg_rows))
+            if rg_starts[i] < lo + take and rg_starts[i + 1] > lo
+        ]
+        if take and pick:
+            tbl = pf.read_row_groups(pick, columns=["lang", "content"])
+            sl = tbl.slice(lo - rg_starts[pick[0]], take)
+        else:
+            sl = pf.schema_arrow.empty_table()
     for lang, content in zip(
         sl.column("lang").to_pylist(), sl.column("content").to_pylist()
     ):

@@ -94,6 +94,62 @@ SUMMARY_SCHEMA = StructType(
 
 _CHECKPOINT_COLS = ["term_h", "salt", "doc_id", "tf", "doc_len", "pos_vb"]
 
+#: Sorted-runs layout (direct phase 1): doc_len is NOT carried per posting
+#: — the merge re-attaches it from the doc-stats runs (see _doc_len_lookup).
+_RUN_COLS = ["term_h", "salt", "doc_id", "tf", "pos_vb"]
+
+#: Conservative decoded-working-set multiplier over a bucket's on-disk run
+#: bytes (snappy parquet -> numpy columns + sort/gather scratch). Used by
+#: the merge memory guard to size term-granular splits.
+_RUN_MEM_EXPANSION = 3
+
+#: Per-worker-process cache of the corpus doc-length lookup (sorted ids +
+#: aligned lengths). One entry per doc-stats dir, validated against the
+#: dir's file listing so a rebuild into the same path invalidates it.
+_DS_CACHE: dict[str, tuple] = {}
+
+
+def _doc_len_lookup(ds_dir: str):
+    """-> (doc_ids int64 sorted asc, doc_len int64 aligned) for the corpus.
+
+    Loaded once per worker process and shared by every merge task it runs
+    (Spark reuses Python workers). Memory is 16 bytes/doc — ~64 MB at 4M
+    docs. This trade only wins while the doc-stats table fits comfortably
+    in task memory; merge_encode_buckets enforces that bound driver-side
+    and prescribes dl-carrying runs past it (see its docstring)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    if not ds_dir:
+        raise ValueError(
+            "runs checkpoint carries no doc_len column and no doc-stats "
+            "dir was provided — pass ds_dir= to merge_encode_buckets"
+        )
+    fsys, root = pyarrow_fs_for(ds_dir)
+    files = tuple(
+        sorted(
+            (i.path, int(i.size or 0), i.mtime_ns or 0)
+            for i in fsys.get_file_info(pafs.FileSelector(root, recursive=True))
+            if i.type == pafs.FileType.File and i.base_name.endswith(".parquet")
+        )
+    )
+    hit = _DS_CACHE.get(ds_dir)
+    if hit is not None and hit[0] == files:
+        return hit[1], hit[2]
+    tbls = []
+    for p, _, _ in files:
+        with fsys.open_input_file(p) as f:
+            tbls.append(pq.read_table(f, columns=["doc_id", "doc_len"]))
+    tbl = pa.concat_tables(tbls) if len(tbls) != 1 else tbls[0]
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    dls = tbl.column("doc_len").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids = np.ascontiguousarray(ids[order])
+    dls = np.ascontiguousarray(dls[order])
+    _DS_CACHE[ds_dir] = (files, ids, dls)
+    return ids, dls
+
 
 def pyarrow_fs_for(uri: str):
     """-> (pyarrow FileSystem, path-without-scheme) for a path or URI.
@@ -429,6 +485,7 @@ def _merge_one_bucket(
     store_positions: bool,
     nsplits: int = 1,
     split_id: int = 0,
+    ds_dir: str | None = None,
 ) -> dict:
     """k-way merge one bucket's sorted runs -> one segment file + its
     lexicon rows. Each run is sorted by (term_h, salt, doc_id) and the keys
@@ -439,12 +496,21 @@ def _merge_one_bucket(
     When nsplits > 1, this task handles only the TERMS with
     pmod(xxhash64(term_h), nsplits) == split_id: term-hash bucketing is
     Zipf-skewed (one popular term's postings all share a bucket), so big
-    buckets would otherwise become the wave's straggler. Splitting is
-    term-granular — every (term, salt) group stays whole, each term's
-    lexicon row is written exactly once, and the extra cost is only
-    re-reading the bucket's runs per split (runs are a few MB). At a
-    larger scale the next step down is (term, salt)-granular splitting
-    with a df-summing lexicon read; not needed at this corpus size."""
+    buckets would otherwise become the wave's straggler. The split filter
+    is applied to each run AS IT IS READ, so a split task's resident
+    working set is ~1/nsplits of the bucket (plus one run's transient) —
+    this is what makes nsplits a real MEMORY bound, not just a
+    work-balance knob (merge_encode_buckets sizes it from both). Every
+    (term, salt) group stays whole, each term's lexicon row is written
+    exactly once, and the extra cost is only re-reading the bucket's runs
+    per split. At a larger scale the next step down is (term, salt)-
+    granular splitting with a df-summing lexicon read; not needed at this
+    corpus size.
+
+    doc_len: runs written by the current phase 1 do not carry it (8
+    bytes/posting off this DRAM-bound phase's read+concat+gather traffic);
+    it is re-attached here from the per-worker-cached doc-stats lookup.
+    Legacy runs that do carry a doc_len column are still consumed as-is."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -455,11 +521,22 @@ def _merge_one_bucket(
     ofs, seg_root = pyarrow_fs_for(seg_dir)
     _, lex_root = pyarrow_fs_for(lex_dir)
 
-    cols = _CHECKPOINT_COLS if store_positions else _CHECKPOINT_COLS[:-1]
+    with fsys.open_input_file(run_paths[0]) as f:
+        run_fields = set(pq.ParquetFile(f).schema_arrow.names)
+    dl_in_runs = "doc_len" in run_fields
+    cols = list(_CHECKPOINT_COLS if dl_in_runs else _RUN_COLS)
+    if not store_positions:
+        cols.remove("pos_vb")
     tbls = []
     for p in run_paths:
         with fsys.open_input_file(p) as f:
-            tbls.append(pq.read_table(f, columns=cols))
+            t = pq.read_table(f, columns=cols)
+        if nsplits > 1 and t.num_rows:
+            th_run = t.column("term_h").to_numpy(zero_copy_only=False)
+            mask = hash_long_array(th_run) % np.int64(nsplits) == split_id
+            if not mask.all():
+                t = t.filter(pa.array(mask))
+        tbls.append(t)
     tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
     del tbls
     n = tbl.num_rows
@@ -467,24 +544,30 @@ def _merge_one_bucket(
     salt = tbl.column("salt").to_numpy(zero_copy_only=False)
     doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
     tf = tbl.column("tf").to_numpy(zero_copy_only=False)
-    doc_len = tbl.column("doc_len").to_numpy(zero_copy_only=False)
 
     # merge: signed-int64 lexsort matches both the runs' in-task sort and
     # the JVM channel path's sortWithinPartitions order
-    if nsplits > 1:
-        sel = np.flatnonzero(
-            hash_long_array(idx) % np.int64(nsplits) == split_id
-        )
-        order = sel[
-            np.lexsort((doc_id[sel], salt[sel], idx[sel]))
-        ]
-    else:
-        order = np.lexsort((doc_id, salt, idx))
+    order = np.lexsort((doc_id, salt, idx))
     idx_s = idx[order]
     salt_s = salt[order]
     doc_s = doc_id[order]
     tf_s = tf[order]
-    dl_s = doc_len[order]
+    if dl_in_runs:
+        dl_s = tbl.column("doc_len").to_numpy(zero_copy_only=False)[order]
+    elif n:
+        ds_ids, ds_dls = _doc_len_lookup(ds_dir)
+        pos = np.minimum(
+            np.searchsorted(ds_ids, doc_s), max(len(ds_ids) - 1, 0)
+        )
+        if not len(ds_ids) or not (ds_ids[pos] == doc_s).all():
+            raise ValueError(
+                f"bucket={bucket}: posting doc_ids missing from doc-stats "
+                f"runs at {ds_dir} — checkpoint and doc_stats are out of "
+                "sync; rebuild the flat checkpoint"
+            )
+        dl_s = ds_dls[pos]
+    else:
+        dl_s = np.empty(0, dtype=np.int64)
     if store_positions:
         # byte-slice reorder via Arrow's C++ take — ~4x less memory traffic
         # than a per-byte numpy index gather (A/B'd; byte-identical)
@@ -555,6 +638,12 @@ def _merge_one_bucket(
     }
 
 
+#: Hard ceiling on term-granular splits per bucket: beyond this, re-reading
+#: the bucket's runs per split dominates — the right fix is more
+#: term_buckets, and the memory guard below says so explicitly.
+_MAX_BUCKET_SPLITS = 256
+
+
 def merge_encode_buckets(
     spark: SparkSession,
     flat_dir: str,
@@ -564,14 +653,28 @@ def merge_encode_buckets(
     block_size: int,
     store_positions: bool,
     target_bytes: int | None = None,
+    ds_dir: str | None = None,
+    task_mem_bytes: int | None = None,
 ) -> list[dict]:
     """Merge-encode the given buckets' sorted-runs checkpoint, biggest work
-    first. A bucket whose runs exceed ~1/(4*cores) of the wave's bytes is
-    split into term-granular sub-tasks (Zipf skew makes the hottest bucket
-    several times the median — unsplit it IS the wave's makespan). Writes
-    segments AND the per-bucket lexicon in-task; returns per-BUCKET summary
-    dicts (sub-task summaries pre-aggregated here) — the caller commits
-    them without running any further Spark job."""
+    first. A bucket is split into term-granular sub-tasks when its runs
+    exceed ~1/(4*cores) of the wave's bytes (Zipf skew makes the hottest
+    bucket several times the median — unsplit it IS the wave's makespan)
+    OR when its estimated decoded working set (run bytes x
+    {_RUN_MEM_EXPANSION}) exceeds `task_mem_bytes` — the MEMORY GUARD: a
+    mis-set term_buckets at a bigger corpus must degrade into more, smaller
+    splits (each split filters its terms per run at read time, bounding
+    residency to ~bucket/nsplits), not OOM a wave. Past
+    {_MAX_BUCKET_SPLITS} splits it fails fast with the term_buckets
+    prescription instead of thrashing re-reads. Writes segments AND the
+    per-bucket lexicon in-task; returns per-BUCKET summary dicts (sub-task
+    summaries pre-aggregated here) — the caller commits them without
+    running any further Spark job.
+
+    `ds_dir` (the doc-stats runs) is required for checkpoints whose runs
+    do not carry doc_len (the current layout). The driver also verifies
+    the doc-stats lookup itself fits the task budget: its residency is
+    16 bytes/doc, the knob past that scale is carrying dl in the runs."""
     files = list_bucket_files(flat_dir, buckets)
     by_bucket: dict[int, list[tuple[str, int]]] = {}
     for b, p, sz in files:
@@ -581,10 +684,40 @@ def merge_encode_buckets(
     cores = spark.sparkContext.defaultParallelism
     total = sum(sz for _, p in by_bucket.items() for _, sz in p)
     target = target_bytes or max(8 << 20, total // (4 * cores))
+    mem_budget = task_mem_bytes or (4 << 30)
+    if ds_dir is not None:
+        from pyarrow import fs as pafs
+
+        fsys, root = pyarrow_fs_for(ds_dir)
+        ds_bytes = sum(
+            int(i.size or 0)
+            for i in fsys.get_file_info(
+                pafs.FileSelector(root, recursive=True, allow_not_found=True)
+            )
+            if i.type == pafs.FileType.File
+        )
+        if ds_bytes * 3 > mem_budget:
+            raise ValueError(
+                f"doc-stats lookup (~{ds_bytes * 3 >> 20} MB decoded) "
+                f"exceeds the p2 task memory budget ({mem_budget >> 20} MB)"
+                " — at this doc count carry doc_len in the runs instead "
+                "(legacy layout) or raise IndexConfig.p2_task_mem_bytes"
+            )
     work: list[tuple[int, list[str], int, int, float]] = []
     for b, paths in by_bucket.items():
         bsize = sum(s for _, s in paths)
-        nsplits = max(1, min(64, round(bsize / target)))
+        mem_splits = -(-(bsize * _RUN_MEM_EXPANSION) // mem_budget)
+        if mem_splits > _MAX_BUCKET_SPLITS:
+            raise ValueError(
+                f"bucket={b}: {bsize >> 20} MB of runs needs {mem_splits} "
+                f"term-splits to fit {mem_budget >> 20} MB tasks (cap "
+                f"{_MAX_BUCKET_SPLITS}) — raise IndexConfig.term_buckets "
+                "so buckets shrink, or raise p2_task_mem_bytes"
+            )
+        nsplits = int(
+            max(1, min(_MAX_BUCKET_SPLITS,
+                       max(round(bsize / target), mem_splits)))
+        )
         for k in range(nsplits):
             work.append(
                 (b, [p for p, _ in paths], nsplits, k, bsize / nsplits)
@@ -595,7 +728,7 @@ def merge_encode_buckets(
         b, paths, nsplits, k, _est = item
         return _merge_one_bucket(
             b, paths, flat_dir, seg_dir, lex_dir,
-            block_size, store_positions, nsplits, k,
+            block_size, store_positions, nsplits, k, ds_dir,
         )
 
     sc = spark.sparkContext

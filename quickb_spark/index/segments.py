@@ -746,6 +746,8 @@ def _run_waves(
                     spark, flat_dir, segments_dir,
                     join_path(index_dir, "lexicon"), wave,
                     cfg.index.block_size, cfg.index.store_positions,
+                    ds_dir=join_path(index_dir, "doc_stats"),
+                    task_mem_bytes=cfg.index.p2_task_mem_bytes,
                 )
             except Exception as e:
                 print(
@@ -758,8 +760,17 @@ def _run_waves(
                 bin_bytes = max(4 << 20, 2 * p50)
                 spark.conf.set("spark.sql.files.maxPartitionBytes", str(bin_bytes))
                 spark.conf.set("spark.sql.files.openCostInBytes", str(bin_bytes // 2))
+                wave_src = flat_all
+                if "doc_len" not in wave_src.columns:
+                    # current runs don't carry doc_len — restore it with one
+                    # equi-join against the doc-stats runs (fallback path
+                    # only; the shuffle encoder re-sorts afterwards anyway)
+                    wave_src = wave_src.join(
+                        spark.read.parquet(join_path(index_dir, "doc_stats")),
+                        "doc_id",
+                    )
                 _encode_wave_channel(
-                    spark, flat_all, segments_dir, wave, g, nb, cfg, True
+                    spark, wave_src, segments_dir, wave, g, nb, cfg, True
                 )
             if summaries is not None:
                 _mark(f"phase2 merge wave {wave[0]}-{wave[-1]}")

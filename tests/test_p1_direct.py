@@ -236,6 +236,7 @@ def test_split_merge_identical(spark, both_indexes, tmp_path):
     summaries = merge_encode_buckets(
         spark, flat, seg2, lex2, list(range(8)), 128, True,
         target_bytes=1,  # force max splitting on every bucket
+        ds_dir=os.path.join(idx_di, "doc_stats"),
     )
     assert any("/" in s["src_file"] and not s["src_file"].endswith("/1)")
                for s in summaries), "no bucket actually split"
@@ -274,6 +275,177 @@ def test_split_merge_identical(spark, both_indexes, tmp_path):
         )
     pm_b = {h: sorted(v) for h, v in pm_b.items()}
     assert pm_a == pm_b
+
+
+def test_runs_carry_no_doc_len(spark, both_indexes):
+    """Pin the round-4 layout: phase-1 runs are 8 bytes/posting lighter
+    (no per-posting doc_len); the merge re-attaches it from doc-stats."""
+    import pyarrow.parquet as pq
+
+    _, idx_di = both_indexes
+    flat = os.path.join(idx_di, "flat")
+    runs = [
+        os.path.join(r, f)
+        for r, _, fs_ in os.walk(flat)
+        for f in fs_
+        if f.endswith(".parquet")
+    ]
+    assert runs
+    names = set(pq.ParquetFile(runs[0]).schema_arrow.names)
+    assert "doc_len" not in names
+    assert {"term_h", "salt", "doc_id", "tf", "pos_vb"} <= names
+
+
+def test_memory_guard_splits_and_fails_fast(spark, tmp_path):
+    """The phase-2 memory guard on a SYNTHETIC oversized bucket: an
+    over-budget bucket is term-split into read-time-filtered sub-tasks
+    (identical decoded output to the unsplit merge), and a budget no split
+    count can satisfy fails fast with the term_buckets prescription
+    instead of OOMing the wave."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickb_spark.index.p2_direct import merge_encode_buckets
+
+    rng = np.random.default_rng(7)
+    # few docs (tiny doc-stats) x many terms (big bucket): each term's
+    # postings are a sorted subset of the doc pool, so every (term, salt)
+    # group is strictly doc-increasing while the bucket's bytes are
+    # dominated by incompressible per-posting position payloads
+    n_pool, n_terms, per_term, pos_bytes = 60, 2000, 50, 30
+    n = n_terms * per_term
+    pool = np.sort(rng.choice(2**62, size=n_pool, replace=False).astype(np.int64))
+    sel = np.concatenate(
+        [np.sort(rng.choice(n_pool, per_term, replace=False))
+         for _ in range(n_terms)]
+    )
+    did = pool[sel]
+    th = np.repeat(np.arange(n_terms, dtype=np.int64) * 7919 + 13, per_term)
+
+    flat = tmp_path / "flat"
+    bdir = flat / "bucket=0"
+    bdir.mkdir(parents=True)
+    pos_vals = rng.bytes(pos_bytes * n)  # never decoded: slice/concat only
+    pos_off = np.arange(n + 1, dtype=np.int32) * pos_bytes
+    run = pa.table(
+        {
+            "term_h": pa.array(th, type=pa.int64()),
+            "salt": pa.array(np.zeros(n, np.int32), type=pa.int32()),
+            "doc_id": pa.array(did, type=pa.int64()),
+            "tf": pa.array(np.ones(n, np.int32), type=pa.int32()),
+            "pos_vb": pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(pos_off.tobytes()),
+                 pa.py_buffer(pos_vals)],
+            ),
+        }
+    )
+    pq.write_table(run, str(bdir / "run-t00000.parquet"),
+                   compression="snappy")
+    ds = tmp_path / "doc_stats"
+    ds.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(pool, type=pa.int64()),
+                  "doc_len": pa.array(
+                      np.full(n_pool, 3, np.int64), type=pa.int64()
+                  )}),
+        str(ds / "run-t00000.parquet"), compression="snappy",
+    )
+    bsize = os.path.getsize(bdir / "run-t00000.parquet")
+    assert bsize > 256 * 8192 // 3, "synthetic bucket too small"
+
+    def _merge(seg, lex, budget):
+        return merge_encode_buckets(
+            spark, str(flat), seg, lex, [0], 128, True,
+            ds_dir=str(ds), task_mem_bytes=budget,
+            target_bytes=1 << 40,  # work-balance splitting off: memory only
+        )
+
+    _merge(str(tmp_path / "seg_a"), str(tmp_path / "lex_a"), 1 << 30)
+    _merge(str(tmp_path / "seg_b"), str(tmp_path / "lex_b"), 3 * bsize // 4)
+    files_b = [
+        f for f in os.listdir(tmp_path / "seg_b" / "bucket=0")
+        if f.endswith(".parquet")
+    ]
+    assert len(files_b) > 1, "memory guard did not split the bucket"
+    term_hs = sorted(set(th.tolist()))
+    seg_a = str(tmp_path / "seg_a")
+    seg_b = str(tmp_path / "seg_b")
+    pm = [
+        _decode_seg_dir(spark, d, term_hs, block_size=128)
+        for d in (seg_a, seg_b)
+    ]
+    assert pm[0] == pm[1]
+    assert sum(len(p) for p, _ in pm[0].values()) == n
+    # fail fast: a budget needing >256 splits (but above the ds floor)
+    ds_bytes = os.path.getsize(ds / "run-t00000.parquet")
+    tiny = max(3 * ds_bytes + 1, (3 * bsize) // 400)
+    assert tiny < (3 * bsize) // 256, "budget window empty — enlarge fixture"
+    with pytest.raises(ValueError, match="term_buckets"):
+        _merge(str(tmp_path / "seg_c"), str(tmp_path / "lex_c"), tiny)
+
+
+def _decode_seg_dir(spark, seg_dir, term_hs, block_size):
+    """term_h -> (sorted postings, sorted raw per-group pos streams) from
+    an uncommitted segment dir; positions stay raw bytes (group-identical
+    across split/unsplit merges by construction)."""
+    rows = (
+        spark.read.parquet(seg_dir)
+        .filter(F.col("term_h").isin(term_hs))
+        .select("term_h", "doc_stream", "tf_stream", "dl_stream",
+                "pos_stream", "df_part")
+        .collect()
+    )
+    out = {h: ([], []) for h in term_hs}
+    for r in rows:
+        n = int(r["df_part"])
+        dids, tfs, dls = decode_posting_list(
+            bytes(r["doc_stream"]), bytes(r["tf_stream"]), n,
+            bytes(r["dl_stream"]), block_size,
+        )
+        out[int(r["term_h"])][0].extend(
+            (int(d), int(t), int(l)) for d, t, l in zip(dids, tfs, dls)
+        )
+        out[int(r["term_h"])][1].append(bytes(r["pos_stream"]))
+    return {h: (sorted(p), sorted(ps)) for h, (p, ps) in out.items()}
+
+
+def test_presample_rowgroup_pruning_identical(corpus):
+    """The row-group-pruned presample reads EXACTLY the rows the whole-file
+    slice read (the hot set is seeded/deterministic — assert equality)."""
+    import pyarrow.parquet as pq
+
+    from quickb_spark.chunking.splitter import split_document
+    from quickb_spark.config import TOKEN_PATTERN
+    from quickb_spark.index.p1_direct import _TOKEN_RE, _sample_task
+
+    cfg = _cfg().chunker
+    files = [p for p, _ in list_parquet_files(corpus)][:3]
+    for path in files:
+        for k, nk, frac in ((0, 1, 0.3), (1, 3, 0.5), (2, 3, 0.07)):
+            got = _sample_task(path, k, nk, frac, corpus, cfg)
+            # whole-file reference implementation (the pre-round-4 logic)
+            tbl = pq.read_table(path, columns=["lang", "content"])
+            n = tbl.num_rows
+            lo = (n * k) // nk
+            take = max(1, int(round(n * frac / nk))) if n else 0
+            sl = tbl.slice(lo, max(0, min(take, n - lo)))
+            from collections import Counter
+
+            df, n_chunks, n_postings = Counter(), 0, 0
+            for lang, content in zip(
+                sl.column("lang").to_pylist(), sl.column("content").to_pylist()
+            ):
+                if not content:
+                    continue
+                for text in split_document(content, lang, cfg):
+                    toks = set(_TOKEN_RE.findall(text.lower()))
+                    if not toks:
+                        continue
+                    n_chunks += 1
+                    n_postings += len(toks)
+                    df.update(toks)
+            assert got == (n_chunks, n_postings, df)
 
 
 def test_runs_checkpoint_resume(spark, both_indexes, tmp_path):
