@@ -14,6 +14,8 @@ Headline queries:
                   (cached listings/stats, driver-side tokenize+hash,
                   lexicon df) — per-batch fixed Spark jobs drop to one
   q_searcher_p50  single-query p50 latency on the warm Searcher
+  q_phrase_batch  25-query exact-phrase batch (position-verified) on the
+                  warm Searcher (direct serving path)
   q_bm25_batch    same batch through the declarative flat-postings plan
   q_bm25_chunked  full path incl. chunking at gate scale
   q_dedup_lsh     minhash signatures + banded LSH candidate pairs
@@ -144,6 +146,10 @@ def main() -> None:
         searcher.topk([(qid, qtext)], k=10).collect()
         lat.append(time.perf_counter() - t0)
     timings["q_searcher_p50"] = round(sorted(lat)[len(lat) // 2], 3)
+    # exact-phrase serving: same batch texts as phrases (position-verified
+    # through the v5 block_pos_off slices)
+    with timed("q_phrase_batch"):
+        searcher.topk(fixture_queries()[:25], k=10, phrase=True).count()
 
     # declarative flat plan over the build's own checkpoint (no re-tokenize;
     # v4 checkpoint keys terms by int64 term_h — hashed_terms mirrors that

@@ -21,8 +21,9 @@ Prints one JSON line per (bucket, variant, rep) and a summary of min
 times, after asserting the two variants' outputs are byte-identical.
 
 RECORDED RESULT (2026-08-18, real 4M-doc checkpoint, biggest buckets,
-BENCH/logs/p2_sort_ab_20260818.log): arrow = 0.83-0.90x of numpy — the
-C++ sort+take LOSES to the shipping lexsort+gather. A third variant
+BENCH/logs/p2_sort_ab_20260818.log): arrow THROUGHPUT = 0.83-0.90x of
+numpy's, i.e. arrow is SLOWER — the C++ sort+take loses to the shipping
+lexsort+gather. A third variant
 (dense-rank terms via searchsorted, then doc-pass timsort + two uint16
 LSD radix argsort passes on the group key) measured 0.64x: each radix
 pass adds two full-width permutation gathers, and gathers, not
@@ -54,10 +55,18 @@ def load_bucket(flat_dir: str, bucket: int):
     import pyarrow.parquet as pq
 
     bdir = os.path.join(flat_dir, f"bucket={bucket}")
+    names = [
+        f for f in sorted(os.listdir(bdir)) if f.endswith(".parquet")
+    ] if os.path.isdir(bdir) else []
+    if not names:
+        raise SystemExit(f"no parquet run files in {bdir} — is --index a "
+                         "direct-build flat checkpoint?")
+    # round-4 runs dropped the per-posting doc_len column; probe whatever
+    # schema this checkpoint actually has
+    have = set(pq.ParquetFile(os.path.join(bdir, names[0])).schema_arrow.names)
+    cols = [c for c in COLS if c in have]
     tbls = [
-        pq.read_table(os.path.join(bdir, f), columns=COLS)
-        for f in sorted(os.listdir(bdir))
-        if f.endswith(".parquet")
+        pq.read_table(os.path.join(bdir, f), columns=cols) for f in names
     ]
     return pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
 
@@ -70,10 +79,11 @@ def run_numpy(tbl):
     salt = tbl.column("salt").to_numpy(zero_copy_only=False)
     doc_id = tbl.column("doc_id").to_numpy(zero_copy_only=False)
     tf = tbl.column("tf").to_numpy(zero_copy_only=False)
-    doc_len = tbl.column("doc_len").to_numpy(zero_copy_only=False)
+    has_dl = "doc_len" in tbl.schema.names
     order = np.lexsort((doc_id, salt, idx))
-    out = (
-        idx[order], salt[order], doc_id[order], tf[order], doc_len[order]
+    out = (idx[order], salt[order], doc_id[order], tf[order]) + (
+        (tbl.column("doc_len").to_numpy(zero_copy_only=False)[order],)
+        if has_dl else ()
     )
     taken = (
         tbl.column("pos_vb").combine_chunks().take(pa.array(order))
@@ -103,6 +113,7 @@ def run_arrow(tbl):
     out = tuple(
         taken.column(c).to_numpy(zero_copy_only=False)
         for c in ("term_h", "salt", "doc_id", "tf", "doc_len")
+        if c in taken.schema.names
     )
     pos = taken.column("pos_vb").combine_chunks().cast(pa.large_binary())
     n = taken.num_rows
@@ -133,6 +144,8 @@ def main() -> None:
             )
             sizes.append((sz, b))
     sizes.sort(reverse=True)
+    if not sizes:
+        raise SystemExit(f"no bucket= dirs under {flat_dir}")
     picks = [b for _, b in sizes[: args.buckets]]
     print(f"biggest buckets: {picks} ({[s for s, _ in sizes[:args.buckets]]} bytes)")
 
@@ -168,9 +181,14 @@ def main() -> None:
         {k: [round(x, 3) for x in v] for k, v in summary.items()},
     )
     tot = {k: sum(v) for k, v in summary.items()}
+    if not tot.get("numpy") or not tot.get("arrow"):
+        raise SystemExit(f"incomplete summary {tot} — no timed buckets")
+    # direction spelled out: ratio < 1 means arrow took LESS time (faster)
+    r = tot["arrow"] / tot["numpy"]
     print(
         f"TOTAL min: numpy={tot['numpy']:.3f}s arrow={tot['arrow']:.3f}s "
-        f"ratio={tot['numpy'] / tot['arrow']:.2f}x"
+        f"arrow_time/numpy_time={r:.2f}x "
+        f"({'arrow faster' if r < 1 else 'arrow slower'})"
     )
 
 

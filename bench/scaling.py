@@ -261,6 +261,16 @@ def _pair_rows(complete, n) -> list[dict]:
                     if lo.get("cal_sec") and hi.get("cal_sec")
                     else None
                 ),
+                # warm-repeat decomposition (fields added round 4): the
+                # warm batch is the pure scoring job; cold - warm is the
+                # per-batch fixed cost (df lookup + listing)
+                "q_warm_eff": (
+                    (lo["query_warm_batch_sec"] / hi["query_warm_batch_sec"])
+                    / 4.0
+                    if lo.get("query_warm_batch_sec")
+                    and hi.get("query_warm_batch_sec")
+                    else None
+                ),
             }
         )
     return rows
@@ -270,6 +280,53 @@ def _median(xs):
     xs = sorted(xs)
     m = len(xs) // 2
     return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2.0
+
+
+def _bootstrap_median_ci(xs, level=0.95, n_boot=20_000, seed=42):
+    """Percentile-bootstrap CI of the median: deterministic (fixed seed),
+    resampling the PAIRS — the protocol's unit of measurement. None for
+    fewer than 4 observations (the interval would be the sample range)."""
+    import random
+
+    if len(xs) < 4:
+        return None
+    rng = random.Random(seed)
+    meds = sorted(
+        _median([xs[rng.randrange(len(xs))] for _ in range(len(xs))])
+        for _ in range(n_boot)
+    )
+    lo_i = int((1 - level) / 2 * n_boot)
+    hi_i = min(n_boot - 1, int((1 + level) / 2 * n_boot))
+    return meds[lo_i], meds[hi_i]
+
+
+def _q_decomp_md(hrows) -> str:
+    """Query-batch decomposition line from the warm-repeat fields (pairs
+    recorded before round-4 instrumentation lack them — count shown)."""
+    with_warm = [r for r in hrows if r["q_warm_eff"] is not None]
+    if not with_warm:
+        return ""
+    med_warm = _median([r["q_warm_eff"] for r in with_warm])
+    fixed_lo = _median(
+        [
+            r["lo"]["query_batch_sec"] - r["lo"]["query_warm_batch_sec"]
+            for r in with_warm
+        ]
+    )
+    fixed_hi = _median(
+        [
+            r["hi"]["query_batch_sec"] - r["hi"]["query_warm_batch_sec"]
+            for r in with_warm
+        ]
+    )
+    return (
+        f"\nQuery-batch decomposition ({len(with_warm)} of {len(hrows)} "
+        "headline pairs carry the round-4 warm-repeat fields): WARM-batch "
+        f"efficiency (pure scoring job, per-batch fixed cost excluded) "
+        f"median {med_warm:.3f}; the cold-warm difference — the once-per-"
+        f"fresh-server df-lookup + listing fixed cost — medians "
+        f"{fixed_lo:.2f}s @N vs {fixed_hi:.2f}s @4N."
+    )
 
 
 def write_report(args, complete, companions=()) -> None:
@@ -332,6 +389,12 @@ def write_report(args, complete, companions=()) -> None:
     med_eff = med_clean if use_clean else med_all
     hrows = clean if use_clean else rows
     med_q_eff = _median([r["q_eff"] for r in hrows])
+    ci_eff = _bootstrap_median_ci([r["eff"] for r in hrows])
+    ci_q = _bootstrap_median_ci([r["q_eff"] for r in hrows])
+
+    def _fmt_ci(ci):
+        return f"[{ci[0]:.3f}, {ci[1]:.3f}]" if ci else "n/a (<4 pairs)"
+
     best = max(hrows, key=lambda r: r["eff"])
     best_thr = max(hrows, key=lambda r: r["hi"]["files_per_sec"])
     first = complete[next(iter(complete))]
@@ -402,22 +465,31 @@ def write_report(args, complete, companions=()) -> None:
                 es.append((tl / th) / 4)
                 shares.append(tl / r["lo"]["build_sec"])
         return (
-            (_median(es), _median(shares), min(es), max(es))
-            if es else (None, None, None, None)
+            (_median(es), _median(shares), min(es), max(es), len(es))
+            if es else (None, None, None, None, 0)
         )
 
-    p1_eff, p1_share, p1_lo, p1_hi = _phase_stats("phase1 flat")
-    p2_eff, p2_share, p2_lo, p2_hi = _phase_stats("phase2 merge")
+    p1_eff, p1_share, p1_lo, p1_hi, p1_n = _phase_stats("phase1 flat")
+    p2_eff, p2_share, p2_lo, p2_hi, p2_n = _phase_stats("phase2 merge")
+    # coverage note: a pair contributes to a phase stat only when BOTH its
+    # trials carry that phase's timings (pre-instrumentation trials don't)
+    phase_cov = (
+        f"all {len(hrows)} headline pairs"
+        if p1_n == p2_n == len(hrows)
+        else f"{min(p1_n, p2_n)}-{max(p1_n, p2_n)} of the {len(hrows)} "
+        "headline pairs (the rest predate phase instrumentation)"
+    )
     phase_md = (
         f"""
-Per-phase decomposition of the same {len(hrows)} headline pairs
+Per-phase decomposition over {phase_cov}
 (computed from the per-trial `phases` timings in the raw JSON below;
-efficiency = (t@N / t@4N) / 4 per pair, median over pairs):
+efficiency = (t@N / t@4N) / 4 per pair, median over pairs; phase-1 stat
+covers {p1_n} pairs, phase-2 covers {p2_n}):
 
 | phase | share of build @N | median eff | reading |
 |---|---|---|---|
 | phase1 chunk+tokenize+run-write | ~{p1_share:.0%} | **{p1_eff:.3f}** | the shuffle-free core: per-pair {p1_lo:.2f}-{p1_hi:.2f}, no shared-resource ceiling |
-| phase2 k-way merge+encode | ~{p2_share:.0%} | {p2_eff:.3f} | DRAM-bound by construction (radix sorts + byte gathers); the pure-multiprocessing hardware control for this kernel scales only 0.52-0.62 on this one-socket box, so the engine beats its own hardware control — on a real 4x-executor cluster this phase brings 4x the memory bandwidth with it |
+| phase2 k-way merge+encode | ~{p2_share:.0%} | {p2_eff:.3f} | DRAM-bound by construction (columnar sort + byte gathers); the pure-multiprocessing hardware control for this kernel measured 0.52-0.62 scaling on this one-socket box (recorded 2026-08-17/18, BENCH/logs/ + the round-3 p2 probes) — the engine beats its own hardware control, and on a real 4x-executor cluster this phase brings 4x the memory bandwidth with it |
 | whole build | 100% | {med_eff:.3f} | |
 
 The phase split shows where the sub-1.0 residual lives: the measured
@@ -468,9 +540,11 @@ PROTOCOL: matched pairs. Each pair runs the {lvl_lo} (N) trial and the
 efficiency is computed only within a pair — this box's background load
 shifts by integer factors between hours (measured: the identical 16-core
 trial binary went 83s -> 429s across one such shift), so bests pooled
-across hours compare different machines, not two cluster sizes. The
-headline is the MEDIAN pair efficiency over all {len(rows)} pooled pairs
-(median, not best: single pairs can still straddle a regime edge).
+across hours compare different machines, not two cluster sizes. The pool
+holds {len(rows)} pairs; the HEADLINE is the median pair efficiency over
+the {len(clean)} pairs that pass the clean gate defined below (median,
+not best: single pairs can still straddle a regime edge; the all-pairs
+median over all {len(rows)} is printed beside it).
 
 LOAD GATE (part of the protocol, not post-hoc): every trial's raw JSON
 records `ext_cores` — the box-wide EXTERNAL (non-benchmark) busy cores
@@ -503,14 +577,19 @@ LOWERS the pool median. The headline is the median over clean pairs
 when at least 3 exist (here: {len(clean)} clean of {len(rows)}); the
 all-pairs median is printed beside it.
 
-**Indexing-throughput scaling efficiency (N -> 4N), median of
-{"clean" if use_clean else "all"} matched pairs: {med_eff:.3f}**
-(north rule target: >= 0.8; all-pairs median {med_all:.3f};
-best {"clean " if use_clean else ""}pair {best['eff']:.3f};
+**Indexing-throughput scaling efficiency (N -> 4N), median over the
+{len(clean) if use_clean else len(rows)}
+{"clean" if use_clean else "(all)"} matched pairs: {med_eff:.3f}**
+(north rule target: >= 0.8; all-pairs median over {len(rows)}:
+{med_all:.3f}; best {"clean " if use_clean else ""}pair
+{best['eff']:.3f}; 95% bootstrap CI of the
+{"clean" if use_clean else "all-pairs"}-median {_fmt_ci(ci_eff)}
+(percentile bootstrap over pairs, seed 42);
 full distribution {', '.join(f'{e:.3f}' for e in effs)}).
-**Query-batch scaling efficiency, median of the same pairs:
-{med_q_eff:.3f}** (1/4 = parity; the batch must at minimum not get
-slower with 4x workers).
+**Query-batch scaling efficiency, median over the same
+{len(clean) if use_clean else len(rows)} pairs: {med_q_eff:.3f}**
+(1/4 = parity; the batch must at minimum not get
+slower with 4x workers; 95% CI {_fmt_ci(ci_q)}).{_q_decomp_md(hrows)}
 Best absolute 4N build throughput: {best_thr['hi']['files_per_sec']}
 files/sec (pair {best_thr['pair']}).
 {phase_md}

@@ -69,6 +69,19 @@ GATE_QUERIES: list[tuple[str, str]] = [
 TOP_K = 10
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
+#: Exact-phrase query set (T5): the testdata docs are dense samples over a
+#: ~30-word vocabulary, so short phrases occur adjacently in many docs while
+#: longer ones get rare; q90 can never match (absent term).
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p01", "hash join"),
+    ("p02", "sort merge"),
+    ("p03", "table table"),
+    ("p04", "fast scan"),
+    ("p05", "window agg stream"),
+    ("p06", "group by key"),
+    ("p90", "zzz_absent_term query"),
+]
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -99,6 +112,57 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = partial.groupBy("query_id", "doc_id").agg(
         grid4(F.sum("partial")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: exact-phrase BM25 top-k (declarative form of
+    Searcher.topk(phrase=True)): scores are the unchanged BM25 sums, the
+    result set is restricted to docs whose token stream contains the
+    query's tokens CONSECUTIVELY. Phrase containment is expressed as
+    substring containment on the space-joined token stream — tokens never
+    contain spaces, so ' a b ' ⊆ ' ... ' ⟺ consecutive-token match; the
+    DuckDB oracle uses the identical construct. The tiny phrase relation is
+    broadcast into the containment join (BroadcastNestedLoop over 7 rows),
+    so the documents side is never shuffled for the predicate."""
+    from quickb_spark.functions.tokenize import tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    flat, doc_stats, term_stats = _flat_index(spark, sf_dir)
+    n, avgdl = corpus_stats(doc_stats)
+    qdf = spark.createDataFrame(PHRASE_QUERIES, ["query_id", "query_text"])
+    needles = qdf.select(
+        "query_id",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", tokens_col("query_text")),
+            F.lit(" "),
+        ).alias("needle"),
+    )
+    tokstr = F.concat(
+        F.lit(" "), F.array_join(tokens_col("text"), " "), F.lit(" ")
+    )
+    matches = (
+        docs.select("doc_id", tokstr.alias("tokstr"))
+        .join(F.broadcast(needles), F.col("tokstr").contains(F.col("needle")))
+        .select("query_id", "doc_id")
+    )
+    qt = query_terms(qdf).join(term_stats, "term")
+    partial = (
+        flat.join(F.broadcast(qt), "term")
+        .join(doc_stats, "doc_id")
+        .select("query_id", "doc_id", bm25_score_col(n, avgdl).alias("partial"))
+    )
+    scored = (
+        partial.groupBy("query_id", "doc_id")
+        .agg(grid4(F.sum("partial")).alias("score"))
+        .join(matches, ["query_id", "doc_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -362,6 +426,47 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+_PHRASE_VALUES = ", ".join(f"('{qid}', '{qt}')" for qid, qt in PHRASE_QUERIES)
+
+
+def _phrase_sql() -> str:
+    return f"""
+WITH tf AS ({_TF}),
+dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, query_text) AS (VALUES {_PHRASE_VALUES}),
+toks AS (SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' ') || ' ' AS tokstr
+         FROM documents),
+needles AS (SELECT query_id,
+            ' ' || array_to_string(regexp_extract_all(lower(query_text), '{TOKEN_PATTERN}'), ' ') || ' ' AS needle
+            FROM q),
+matches AS (SELECT n.query_id, t.doc_id FROM needles n JOIN toks t
+            ON contains(t.tokstr, n.needle)),
+qt AS (SELECT DISTINCT query_id, term FROM (
+  SELECT query_id, unnest(regexp_extract_all(lower(query_text), '{TOKEN_PATTERN}')) AS term FROM q)),
+partial AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1 + (stats.n - ts.df + 0.5) / (ts.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) AS s
+  FROM qt
+  JOIN ts USING (term)
+  JOIN tf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats),
+scored AS (
+  SELECT query_id, doc_id, floor(CAST(sum(s) AS DOUBLE) * 10000 + 0.5) / 10000 AS score
+  FROM partial GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS INTEGER) AS rank
+  FROM scored s JOIN matches USING (query_id, doc_id))
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def _knn_sql() -> str:
     ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
     return f"""
@@ -456,6 +561,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 ORACLE_SQL: dict[str, str] = {
     "t1_bm25_topk": _bm25_sql(),
+    "t5_phrase_topk": _phrase_sql(),
     "c7_term_stats": (
         f"SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf "
         f"FROM ({_TF}) GROUP BY term"
@@ -527,6 +633,7 @@ ORACLE_SQL: dict[str, str] = {
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t1_bm25_topk": q_bm25_topk,
+    "t5_phrase_topk": q_phrase_topk,
     "c7_term_stats": q_term_stats,
     "a4_doc_stats": q_doc_stats,
     "u2_dedup_exact": q_dedup_exact,

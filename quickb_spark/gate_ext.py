@@ -219,6 +219,20 @@ def q_wand_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_segments(spark, idx, qdf, k=10, use_wand=True)
 
 
+def q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 full path: exact-phrase top-k through the compressed-segment
+    engine (Searcher.topk(phrase=True): posting-list intersection +
+    block-sliced position verification via the v5 block_pos_off offsets).
+    Rows-only here — segment doc_ids are chunk-level xxhash64 mints, which
+    SQL can't reproduce; the python oracle is
+    tests/test_segments_wand.py::test_phrase_topk_matches_bruteforce_oracle
+    and the declarative hash-matched twin is gate.t5_phrase_topk."""
+    from quickb_spark.query.searcher import Searcher
+
+    idx = _gate_index(spark, sf_dir)
+    return Searcher(spark, idx).topk(gate.PHRASE_QUERIES, k=10, phrase=True)
+
+
 def q_segments_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumability lineage: per-partition segment metadata table."""
     from quickb_spark.index.segments import segments_meta
@@ -421,6 +435,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g8_llm_semantic_chunks": q_llm_semantic_chunks,
     "t3_embed_near_dup": q_embed_near_dup,
     "t1_wand_segments": q_wand_segments,
+    "t5_phrase_segments": q_phrase_segments,
     "s10_segments_meta": q_segments_meta,
     "mm_media_features": q_media_features,
     "mm_media_frames": q_media_frames,

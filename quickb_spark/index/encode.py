@@ -193,9 +193,14 @@ def encode_posting_list(
         block_dl_off = _offsets(dls_u)
     else:
         block_doc_off = block_tf_off = block_dl_off = []
+    # per-POSTING position stream byte lengths: per-block byte offsets into
+    # pos_stream (block_pos_off, format v5) make block-aligned pos slices
+    # independently decodable — the phrase query path depends on this
+    pos_lens = np.zeros(n, dtype=np.int64)
     pos_stream = b""
     if pos_vb is not None and len(doc_ids):
         pos_stream = b"".join(pos_vb[i] for i in order)
+        pos_lens = np.array([len(pos_vb[i]) for i in order], dtype=np.int64)
     elif positions is not None and len(doc_ids):
         # per-doc delta-encoded positions, vectorized: one global diff with
         # absolute resets at each doc boundary (lengths are the tf values)
@@ -208,7 +213,19 @@ def encode_posting_list(
             np.subtract(flat[1:], flat[:-1], out=deltas[1:])
             starts = np.cumsum(tfs)[:-1]
             deltas[starts] = flat[starts]
-            pos_stream = varbyte_encode(deltas.view(np.uint64))
+            dv = deltas.view(np.uint64)
+            per_val = varbyte_lengths(dv)
+            pos_stream = varbyte_encode(dv, per_val)
+            vstarts = np.zeros(n, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=vstarts[1:])
+            pos_lens = np.add.reduceat(per_val, vstarts)
+            pos_lens[tfs == 0] = 0
+    if n:
+        block_pos_off = np.concatenate(
+            ([0], np.cumsum(pos_lens)[bstarts[1:] - 1])
+        ).tolist()
+    else:
+        block_pos_off = []
     last_doc, max_tf, min_dl = block_meta(doc_ids, tfs, dls, block_size)
     return {
         "n_docs": int(len(doc_ids)),
@@ -222,6 +239,7 @@ def encode_posting_list(
         "block_doc_off": block_doc_off,
         "block_tf_off": block_tf_off,
         "block_dl_off": block_dl_off,
+        "block_pos_off": block_pos_off,
     }
 
 

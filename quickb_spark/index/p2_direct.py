@@ -337,10 +337,15 @@ def encode_sorted_groups(
         )
 
     if store_positions and n:
-        pos_goff = np.asarray(pos_off, dtype=np.int64)[np.append(starts, n)]
+        pos_off_a = np.asarray(pos_off, dtype=np.int64)
+        pos_goff = pos_off_a[np.append(starts, n)]
         pos_arr = _bin(bytes(pos_bytes), pos_goff)
+        # per-block byte offsets into pos_stream, relative to each group's
+        # stream start (format v5 — block-aligned pos slices decode alone)
+        pos_boff = pos_off_a[bstarts] - np.repeat(pos_goff[:-1], nblocks)
     else:
         pos_arr = _bin(b"", np.zeros(n_groups + 1, dtype=np.int64))
+        pos_boff = np.zeros(int(nblocks.sum()) if n else 0, dtype=np.int64)
 
     out_tbl = pa.table(
         {
@@ -370,6 +375,7 @@ def encode_sorted_groups(
             "block_doc_off": _list_array(doc_boff),
             "block_tf_off": _list_array(tf_boff),
             "block_dl_off": _list_array(dl_boff),
+            "block_pos_off": _list_array(pos_boff),
         }
     )
     max_salt = int(salt.max()) if n else 0

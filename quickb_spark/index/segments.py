@@ -122,6 +122,7 @@ SEGMENT_SCHEMA = StructType(
         StructField("block_doc_off", ArrayType(LongType())),
         StructField("block_tf_off", ArrayType(LongType())),
         StructField("block_dl_off", ArrayType(LongType())),
+        StructField("block_pos_off", ArrayType(LongType())),
     ]
 )
 
@@ -154,7 +155,11 @@ def _bucket_col_h(term_h_col, n_buckets: int):
 #: either term. Serving hashes query terms with the bit-identical
 #: pure-Python mirror (functions/hashing.py). v3 (string terms, per-block
 #: byte offsets, baked-in salt) indexes fail fast and must be rebuilt.
-FORMAT_VERSION = 4
+#: v5 adds per-block byte offsets into pos_stream (block_pos_off): any
+#: block-aligned slice of the POSITION stream is now independently
+#: decodable too, which is what lets the phrase query path position-verify
+#: only candidate postings instead of decoding whole hot posting lists.
+FORMAT_VERSION = 5
 
 #: Input-sample fraction for PRE-phase-1 hot-term detection (tokenizes ~2%
 #: of the raw input once; detecting hot terms before phase 1 lets the salt
@@ -260,6 +265,7 @@ def _partition_encoder(cfg: EngineConfig):
             "block_doc_off": enc["block_doc_off"],
             "block_tf_off": enc["block_tf_off"],
             "block_dl_off": enc["block_dl_off"],
+            "block_pos_off": enc["block_pos_off"],
         }
 
     def _bounds(term_arr: np.ndarray, salt_arr: np.ndarray) -> np.ndarray:
@@ -302,48 +308,32 @@ def _partition_encoder(cfg: EngineConfig):
     return encode_partition
 
 
-def _commits_path(index_dir: str) -> str:
-    return join_path(index_dir, "meta", "commits.json")
-
+# The commit ledger lives behind a pluggable CommitProtocol seam
+# (index/commit_protocol.py): LedgerCommitProtocol (one atomic JSON file,
+# the default and the previous hard-wired behavior) or
+# IcebergCommitProtocol (one Iceberg snapshot per wave commit, activates
+# only where the runtime jar exists). These module-level functions remain
+# as stable wrappers over the default ledger.
 
 def load_commits(fs: IndexFS, index_dir: str) -> dict[int, dict]:
-    """bucket -> committed meta, from the single per-index commit ledger.
+    """bucket -> committed meta via the default JSON-ledger protocol."""
+    from quickb_spark.index.commit_protocol import LedgerCommitProtocol
 
-    One atomic JSON file instead of one file per bucket: metas for a wave
-    are only ever written together AFTER the wave's data has fully landed,
-    so per-bucket files added no recovery granularity — they only added
-    O(buckets) driver<->FS round-trips per wave (measured ~3s per wave of
-    64 on this sandbox's py4j path, and worse on object stores)."""
-    p = _commits_path(index_dir)
-    if not fs.exists(p):
-        return {}
-    try:
-        raw = json.loads(fs.read_text(p))
-    except ValueError:
-        # torn write (non-atomic FS): data for those buckets has landed but
-        # is uncommitted -> treat all as pending; the rebuild is idempotent
-        return {}
-    return {int(k): v for k, v in raw.items()}
+    return LedgerCommitProtocol(fs, index_dir).load()
 
 
 def save_commits(fs: IndexFS, index_dir: str, commits: dict[int, dict]) -> None:
-    fs.write_text_atomic(
-        _commits_path(index_dir),
-        json.dumps({str(k): v for k, v in sorted(commits.items())}),
-    )
+    from quickb_spark.index.commit_protocol import LedgerCommitProtocol
+
+    LedgerCommitProtocol(fs, index_dir).save(commits)
 
 
 def invalidate_buckets(fs: IndexFS, index_dir: str, buckets: list[int]) -> None:
     """Drop buckets from the commit ledger so the next build_index call
     re-encodes them (used by the streaming delta fold)."""
-    commits = load_commits(fs, index_dir)
-    changed = False
-    for b in buckets:
-        if b in commits:
-            del commits[b]
-            changed = True
-    if changed:
-        save_commits(fs, index_dir, commits)
+    from quickb_spark.index.commit_protocol import LedgerCommitProtocol
+
+    LedgerCommitProtocol(fs, index_dir).invalidate(buckets)
 
 
 def _parse_bytes_conf(v: str) -> int:
@@ -367,6 +357,7 @@ def build_index(
     documents: DataFrame | None = None,
     corpus_uri: str | None = None,
     timings: dict | None = None,
+    commit_protocol=None,
 ) -> None:
     """Build (or resume) the compressed index.
 
@@ -574,6 +565,7 @@ def build_index(
                     "term_buckets": nb,
                     "salt_buckets": cfg.index.salt_buckets,
                     "block_size": cfg.index.block_size,
+                    "store_positions": cfg.index.store_positions,
                     "hot_terms": hot_terms,
                 }
             ),
@@ -615,6 +607,7 @@ def build_index(
                     "term_buckets": nb,
                     "salt_buckets": cfg.index.salt_buckets,
                     "block_size": cfg.index.block_size,
+                    "store_positions": cfg.index.store_positions,
                     "hot_terms": hot_terms,
                 }
             ),
@@ -633,7 +626,11 @@ def build_index(
     # automatic fallback when the checkpoint's FS scheme isn't reachable
     # from Python, e.g. hdfs:// without libhdfs); QKB_P2_SHUFFLE=1 forces
     # the explicit repartition+sort channel path (A/B control).
-    commits = load_commits(fs, index_dir)
+    if commit_protocol is None:
+        from quickb_spark.index.commit_protocol import LedgerCommitProtocol
+
+        commit_protocol = LedgerCommitProtocol(fs, index_dir)
+    commits = commit_protocol.load()
     pending = [b for b in range(nb) if b not in commits]
     segments_dir = join_path(index_dir, "segments")
     force_shuffle = os.environ.get("QKB_P2_SHUFFLE") == "1"
@@ -667,7 +664,7 @@ def build_index(
     try:
         _run_waves(
             spark, fs, index_dir, flat_all, segments_dir, pending,
-            wave_size, g, nb, mode, cfg, commits, _mark,
+            wave_size, g, nb, mode, cfg, commits, _mark, commit_protocol,
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
@@ -719,7 +716,7 @@ def _encode_wave_channel(
 
 def _run_waves(
     spark, fs, index_dir, flat_all, segments_dir, pending,
-    wave_size, g, nb, mode, cfg, commits, _mark,
+    wave_size, g, nb, mode, cfg, commits, _mark, commit_protocol,
 ):
     flat_dir = join_path(index_dir, "flat")
     for wave_start in range(0, len(pending), wave_size):
@@ -792,7 +789,7 @@ def _run_waves(
                         "status": "done",
                         "committed_at": time.time(),
                     }
-                save_commits(fs, index_dir, commits)
+                commit_protocol.save(commits)
                 _mark("phase2 meta commits")
                 continue
         elif mode == "direct":
@@ -882,7 +879,7 @@ def _run_waves(
         # ONE atomic ledger write commits the whole wave (data landed above;
         # a crash before this line just re-encodes the wave — identical to
         # the per-bucket-file protocol, minus 64 FS round-trips)
-        save_commits(fs, index_dir, commits)
+        commit_protocol.save(commits)
         _mark("phase2 meta commits")
 
 

@@ -22,10 +22,22 @@ The Searcher removes all of them from the per-batch path:
   touch storage twice;
 - the auto range split is computed from those cached dfs.
 
-Per batch the remaining Spark work is ONE job: pruned segment scan ⋈
-broadcast local (query, term) relation → JVM range slicing → scorer →
-top-k. Results are identical to bm25_topk_segments (asserted in
-tests/test_searcher.py).
+Per batch the remaining Spark work is ONE job, and by default it is the
+DIRECT one (query/serve_direct.py): R range tasks read the candidate
+segment rows themselves with pyarrow and return only top-k tuples — no
+stream bytes on the JVM<->Python Arrow channel, no shuffle, no window job
+(the channel was the measured reason round-3 query batches scaled at half
+the build's rate). The channel path (pruned scan ⋈ broadcast (query, term)
+relation → JVM range slicing → applyInPandas scorer → top-k window)
+remains as the automatic fallback for FS schemes pyarrow cannot reach and
+as the A/B control (QKB_SERVE_CHANNEL=1). Both paths score through the
+same kernels and return identical results, also identical to
+bm25_topk_segments (asserted in tests/test_searcher.py).
+
+Phrase mode (`topk(..., phrase=True)`): exact-phrase retrieval — BM25
+scores unchanged, result set restricted to docs whose token stream
+contains the query terms consecutively; candidate postings are verified by
+block-sliced position decode (format v5 block_pos_off). Direct path only.
 
 Staleness: the Searcher snapshots one index state. After a rebuild or a
 delta fold, call `refresh()` (or construct a new Searcher) — cached file
@@ -33,6 +45,8 @@ listings and dfs would otherwise serve the old segment files.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +58,12 @@ from quickb_spark.index.segments import load_stats
 from quickb_spark.query.wand import _auto_ranges, _score_segments
 
 __all__ = ["Searcher"]
+
+#: Bound on the term->df negative/positive cache: serving processes are
+#: long-lived and open-vocabulary query streams would otherwise grow the
+#: dict without limit. Simple FIFO eviction — a serving workload's hot
+#: terms re-enter the cache on first miss.
+_DF_CACHE_MAX = 262_144
 
 
 class Searcher:
@@ -73,6 +93,31 @@ class Searcher:
         #: absent terms are the common case for open-vocabulary queries and
         #: must not re-probe storage per batch)
         self._df_cache: dict[str, int] = {}
+        #: bucket -> candidate segment file paths (direct serving path);
+        #: None means the direct path is unavailable for this index's FS
+        self._seg_files: dict[int, list[str]] | None = {}
+
+    def _files_for(self, buckets: list[int]) -> list[str] | None:
+        """Cached candidate segment files for the buckets; None when the
+        index FS is not reachable from Python (channel fallback)."""
+        if self._seg_files is None:
+            return None
+        missing = [b for b in buckets if b not in self._seg_files]
+        if missing:
+            try:
+                from quickb_spark.index.p2_direct import list_bucket_files
+
+                listed = list_bucket_files(
+                    f"{self.index_dir}/segments", missing
+                )
+            except Exception:
+                self._seg_files = None
+                return None
+            by_b: dict[int, list[str]] = {b: [] for b in missing}
+            for b, p, _sz in listed:
+                by_b[b].append(p)
+            self._seg_files.update(by_b)
+        return [p for b in buckets for p in self._seg_files[b]]
 
     def _lookup_dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
@@ -88,6 +133,10 @@ class Searcher:
                 .collect()
             )
             found = {mh[int(r["term_h"])]: int(r["df"]) for r in rows}
+            if len(self._df_cache) + len(missing) > _DF_CACHE_MAX:
+                drop = len(self._df_cache) + len(missing) - _DF_CACHE_MAX
+                for key in list(self._df_cache)[:drop]:
+                    del self._df_cache[key]
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
@@ -98,30 +147,38 @@ class Searcher:
         k: int = 10,
         strategy: str = "auto",
         ranges: int | str = "auto",
+        phrase: bool = False,
     ) -> DataFrame:
         """(query_id, rank, doc_id, score); queries as (query_id, text)
         pairs (preferred for serving — driver-side tokenize, zero extra
         jobs) or a (query_id, query_text) DataFrame (collected: a query
-        batch is small by definition)."""
+        batch is small by definition).
+
+        phrase=True: exact-phrase retrieval — each query's text must occur
+        as CONSECUTIVE tokens in a doc for it to be returned; scores are
+        the unchanged BM25 sums, ranked identically. Requires an index
+        built with store_positions and a pyarrow-reachable FS (the direct
+        serving path position-verifies candidates block by block)."""
         if isinstance(queries, DataFrame):
             queries = [
                 (r["query_id"], r["query_text"]) for r in queries.collect()
             ]
+        toks_by_q = {
+            qid: tokenize_py(text or "") for qid, text in queries
+        }
         qt_pairs = sorted(
-            {(qid, t) for qid, text in queries for t in tokenize_py(text or "")}
+            {(qid, t) for qid, toks in toks_by_q.items() for t in toks}
         )
         terms = sorted({t for _, t in qt_pairs})
         dfs = self._lookup_dfs(terms)
         live = [t for t in terms if dfs[t] > 0]
+        empty = self.spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
+        )
         if not live:
-            return self.spark.createDataFrame(
-                [], "query_id string, rank int, doc_id long, score double"
-            )
+            return empty
         th = {t: xxhash64(t) for t in live}
         buckets = sorted({bucket_of(t, self.n_buckets) for t in live})
-        seg = self.seg.filter(F.col("bucket").isin(buckets)).filter(
-            F.col("term_h").isin(list(th.values()))
-        )
         if ranges == "auto":
             r_count = _auto_ranges(
                 sum(dfs[t] for t in live),
@@ -129,9 +186,47 @@ class Searcher:
             )
         else:
             r_count = int(ranges)
+        qt_pairs_h = [(q, th[t]) for q, t in qt_pairs if t in th]
+        dfs_h = {th[t]: dfs[t] for t in live}
+
+        phrase_seqs = None
+        if phrase:
+            if not self.stats.get("store_positions", True):
+                raise ValueError(
+                    "phrase queries need an index built with "
+                    "store_positions=True"
+                )
+            # a query whose tokens aren't all live can't match anywhere
+            phrase_seqs = {
+                qid: [th[t] for t in toks]
+                for qid, toks in toks_by_q.items()
+                if toks and all(dfs.get(t, 0) > 0 for t in toks)
+            }
+            if not phrase_seqs:
+                return empty
+
+        files = (
+            None
+            if os.environ.get("QKB_SERVE_CHANNEL") == "1"
+            else self._files_for(buckets)
+        )
+        if files is not None:
+            from quickb_spark.query.serve_direct import serve_topk_direct
+
+            return serve_topk_direct(
+                self.spark, files, qt_pairs_h, dfs_h, self.stats, k,
+                self.k1, self.b, strategy, r_count,
+                phrase_seqs=phrase_seqs,
+            )
+        if phrase:
+            raise ValueError(
+                "phrase queries require the direct serving path (pyarrow-"
+                "reachable index FS, QKB_SERVE_CHANNEL unset)"
+            )
+        seg = self.seg.filter(F.col("bucket").isin(buckets)).filter(
+            F.col("term_h").isin(list(th.values()))
+        )
         return _score_segments(
-            self.spark, seg,
-            [(q, th[t]) for q, t in qt_pairs if t in th],
-            {th[t]: dfs[t] for t in live}, self.stats, k, self.k1, self.b,
-            strategy, r_count,
+            self.spark, seg, qt_pairs_h, dfs_h, self.stats, k,
+            self.k1, self.b, strategy, r_count,
         )

@@ -410,6 +410,87 @@ def _range_bounds(r_count: int) -> list[tuple[int, int, int]]:
     return out
 
 
+def _build_struct(parts, idf, k1, b, avgdl):
+    """Merge a term's range-trimmed slice parts (salt sub-lists + partial
+    segment rows) into one scoring struct: stable argsort re-merge (keys
+    are doc-disjoint across parts, so part order cannot affect results),
+    block-max metadata rebuilt on the merged arrays. Shared by the channel
+    scorer and the direct serving tasks — one code path, one bit pattern."""
+    docs = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    order = np.argsort(docs, kind="stable")  # salt re-merge
+    docs, tfs, dls = docs[order], tfs[order], dls[order]
+    last_doc, max_tf, min_dl = block_meta(docs, tfs, dls, 128)
+    return {
+        "docs": docs,
+        "tfs": tfs,
+        "dls": dls,
+        "idf": idf,
+        "scores": _bm25_vec(tfs, dls, idf, k1, b, avgdl),
+        "block_last_doc": last_doc,
+        "block_max_tf": max_tf,
+        "block_min_dl": min_dl,
+        "perm": order,
+    }
+
+
+def _idf_of(term, dfs, n_docs):
+    df_total = int(dfs[term])
+    return float(np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5)))
+
+
+def _score_query_set(
+    structs, terms_by_query, k, strategy, k1, b, avgdl, emit_rank
+):
+    """Score every query of a batch against one range's term structs.
+    -> (query_ids, doc_ids, scores, ranks) column lists. The four kernels
+    (_dense/_exact/_blockmax/_wand) are bit-identical including tie-breaks
+    (fuzz-tested); `auto` builds the shared dense doc domain once per call.
+    Shared by the Arrow-channel scorer and the direct serving tasks."""
+    domain = None  # shared dense doc domain, built on first auto query
+    acc = None
+    out_q: list[str] = []
+    out_d: list[int] = []
+    out_s: list[float] = []
+    out_r: list[int] = []
+    for qid in sorted(terms_by_query):
+        terms = [structs[t] for t in terms_by_query[qid] if t in structs]
+        if not terms:
+            continue
+        total = sum(len(t["docs"]) for t in terms)
+        if strategy == "wand":
+            # explicit DAAT pointer-chasing WAND (reference algorithm;
+            # equivalence-tested, but Python-loop slow on big tasks)
+            doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
+        elif strategy == "auto":
+            if domain is None:
+                # once per range: union doc domain + per-term dense
+                # indices into it; every query then scores via buffered
+                # adds into one reused accumulator (see _dense_topk)
+                domain = np.unique(
+                    np.concatenate([s["docs"] for s in structs.values()])
+                )
+                for s in structs.values():
+                    s["dense"] = np.searchsorted(domain, s["docs"])
+                acc = np.zeros(len(domain))
+            doc_ids, scores = _dense_topk(
+                terms, k, domain, acc,
+                total > AUTO_EXACT_MAX_POSTINGS, k1, b, avgdl,
+            )
+        else:
+            doc_ids, scores = _exact_topk(terms, k)
+        out_q.extend([qid] * len(doc_ids))
+        out_d.extend(doc_ids)
+        out_s.extend(scores)
+        if emit_rank:
+            # single-range mode: each query's top-k IS the final answer
+            # (scorer output is already (score desc, doc_id asc) ordered),
+            # so rank is assigned here and the merge is skipped entirely
+            out_r.extend(range(1, len(doc_ids) + 1))
+    return out_q, out_d, out_s, out_r
+
+
 def _make_batch_scorer(
     qt_pairs, dfs, n_docs, avgdl, k, k1, b, strategy, block_size,
     emit_rank=False,
@@ -431,8 +512,6 @@ def _make_batch_scorer(
         hi = int(pdf["hi"].iat[0])
         structs: dict[int, dict] = {}
         for term, g in pdf.groupby("term_h", sort=True):
-            df_total = int(dfs[term])
-            idf = float(np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5)))
             parts = []
             for r in g.itertuples():
                 d, t, dl = decode_posting_list(
@@ -447,67 +526,13 @@ def _make_batch_scorer(
                     d, t, dl = d[a:z], t[a:z], dl[a:z]
                 if len(d):
                     parts.append((d, t, dl))
-            if not parts:
-                continue
-            docs = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
-            dls = np.concatenate([p[2] for p in parts])
-            order = np.argsort(docs, kind="stable")  # salt re-merge
-            docs, tfs, dls = docs[order], tfs[order], dls[order]
-            last_doc, max_tf, min_dl = block_meta(docs, tfs, dls, 128)
-            structs[term] = {
-                "docs": docs,
-                "tfs": tfs,
-                "dls": dls,
-                "idf": idf,
-                "scores": _bm25_vec(tfs, dls, idf, k1, b, avgdl),
-                "block_last_doc": last_doc,
-                "block_max_tf": max_tf,
-                "block_min_dl": min_dl,
-            }
-        domain = None  # shared dense doc domain, built on first auto query
-        acc = None
-        out_q: list[str] = []
-        out_d: list[int] = []
-        out_s: list[float] = []
-        out_r: list[int] = []
-        for qid in sorted(terms_by_query):
-            terms = [
-                structs[t] for t in terms_by_query[qid] if t in structs
-            ]
-            if not terms:
-                continue
-            total = sum(len(t["docs"]) for t in terms)
-            if strategy == "wand":
-                # explicit DAAT pointer-chasing WAND (reference algorithm;
-                # equivalence-tested, but Python-loop slow on big tasks)
-                doc_ids, scores = _wand_topk(terms, k, k1, b, avgdl)
-            elif strategy == "auto":
-                if domain is None:
-                    # once per range: union doc domain + per-term dense
-                    # indices into it; every query then scores via buffered
-                    # adds into one reused accumulator (see _dense_topk)
-                    domain = np.unique(
-                        np.concatenate([s["docs"] for s in structs.values()])
-                    )
-                    for s in structs.values():
-                        s["dense"] = np.searchsorted(domain, s["docs"])
-                    acc = np.zeros(len(domain))
-                doc_ids, scores = _dense_topk(
-                    terms, k, domain, acc,
-                    total > AUTO_EXACT_MAX_POSTINGS, k1, b, avgdl,
+            if parts:
+                structs[term] = _build_struct(
+                    parts, _idf_of(term, dfs, n_docs), k1, b, avgdl
                 )
-            else:
-                doc_ids, scores = _exact_topk(terms, k)
-            out_q.extend([qid] * len(doc_ids))
-            out_d.extend(doc_ids)
-            out_s.extend(scores)
-            if emit_rank:
-                # single-range mode: each query's top-k IS the final answer
-                # (scorer output is already (score desc, doc_id asc)
-                # ordered), so rank is assigned here and the driver-side
-                # window merge is skipped entirely
-                out_r.extend(range(1, len(doc_ids) + 1))
+        out_q, out_d, out_s, out_r = _score_query_set(
+            structs, terms_by_query, k, strategy, k1, b, avgdl, emit_rank
+        )
         out = {"query_id": out_q, "doc_id": out_d, "score": out_s}
         if emit_rank:
             out["rank"] = out_r

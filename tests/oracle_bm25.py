@@ -63,3 +63,33 @@ class OracleIndex:
         """-> [(rank, doc_id, score)] with deterministic tie-breaks."""
         scored = sorted(self.score(query).items(), key=lambda t: (-t[1], t[0]))
         return [(r + 1, d, s) for r, (d, s) in enumerate(scored[:k])]
+
+    def phrase_docs(self, query: str) -> set[int]:
+        """Docs whose token stream contains the query's tokens CONSECUTIVELY
+        (the exact-phrase predicate; positions are 0-based token offsets)."""
+        seq = tokenize_py(query)
+        if not seq or any(t not in self.postings for t in seq):
+            return set()
+        out = set()
+        cand = set(self.postings[seq[0]])
+        for t in seq[1:]:
+            cand &= set(self.postings[t])
+        for doc_id in cand:
+            starts = set(self.postings[seq[0]][doc_id])
+            for off, t in enumerate(seq[1:], start=1):
+                starts &= {p - off for p in self.postings[t][doc_id]}
+                if not starts:
+                    break
+            if starts:
+                out.add(doc_id)
+        return out
+
+    def phrase_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
+        """Exact-phrase top-k: BM25 scores unchanged, result set restricted
+        to phrase-matching docs, same (score desc, doc_id asc) ranking."""
+        match = self.phrase_docs(query)
+        scored = sorted(
+            ((d, s) for d, s in self.score(query).items() if d in match),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return [(r + 1, d, s) for r, (d, s) in enumerate(scored[:k])]

@@ -74,3 +74,65 @@ def test_jar_probe_is_honest(spark):
     README's environment claim should be updated)."""
     probe = _iceberg_on_classpath(spark)
     assert probe in (True, False)  # never raises
+
+
+def test_commit_protocol_seam_ledger(spark, tmp_path):
+    """The CommitProtocol seam: build_index with an EXPLICIT
+    LedgerCommitProtocol behaves identically to the default (same ledger
+    file, same resumability semantics) — the always-running half of the
+    Iceberg commit seam."""
+    from quickb_spark.fs import IndexFS
+    from quickb_spark.index.commit_protocol import LedgerCommitProtocol
+    from quickb_spark.index.segments import build_index, load_commits
+
+    docs = generate_documents_df(spark, 60, seed=5, partitions=2)
+    idx = str(tmp_path / "idx_seam")
+    fs = IndexFS(idx, spark)
+    proto = LedgerCommitProtocol(fs, idx)
+    build_index(
+        spark, index_dir=idx, cfg=CFG, documents=docs, commit_protocol=proto
+    )
+    commits = proto.load()
+    assert len(commits) == CFG.index.term_buckets
+    assert commits == load_commits(fs, idx)  # same ledger file
+    # invalidate through the protocol -> those buckets become pending and
+    # a resume re-encodes exactly them
+    proto.invalidate([0, 1])
+    assert 0 not in proto.load() and 1 not in proto.load()
+    build_index(spark, index_dir=idx, cfg=CFG, commit_protocol=proto)
+    assert len(proto.load()) == CFG.index.term_buckets
+
+
+def test_commit_protocol_iceberg(spark, tmp_path):
+    """Iceberg-backed commit ledger: one snapshot per wave commit. Runs
+    only where an iceberg-spark runtime jar exists (same self-skip seam as
+    the input-side test above)."""
+    from quickb_spark.index.commit_protocol import IcebergCommitProtocol
+
+    if not IcebergCommitProtocol.available(spark):
+        pytest.skip("iceberg-spark runtime jar not on the classpath")
+
+    from quickb_spark.corpus import fixture_queries
+    from quickb_spark.index.segments import build_index
+    from quickb_spark.query.wand import bm25_topk_segments
+
+    spark.conf.set(
+        "spark.sql.catalog.qkb_cp", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.qkb_cp.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.qkb_cp.warehouse", str(tmp_path / "wh"))
+
+    docs = generate_documents_df(spark, 80, seed=3, partitions=2)
+    proto = IcebergCommitProtocol(spark, "qkb_cp.db.index_commits")
+    idx = str(tmp_path / "idx_ice_cp")
+    build_index(
+        spark, index_dir=idx, cfg=CFG, documents=docs, commit_protocol=proto
+    )
+    assert len(proto.load()) == CFG.index.term_buckets
+    q = spark.createDataFrame(fixture_queries()[:4], ["query_id", "query_text"])
+    assert bm25_topk_segments(spark, idx, q, k=5).count() > 0
+    # invalidation + resume through the Iceberg ledger
+    proto.invalidate([0])
+    assert 0 not in proto.load()
+    build_index(spark, index_dir=idx, cfg=CFG, commit_protocol=proto)
+    assert len(proto.load()) == CFG.index.term_buckets

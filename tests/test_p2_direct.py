@@ -32,7 +32,8 @@ _KEY = ["term_h", "salt"]
 _PAYLOAD = [
     "df_part", "cf_part", "doc_stream", "tf_stream", "dl_stream",
     "pos_stream", "block_last_doc", "block_max_tf", "block_min_dl",
-    "block_doc_off", "block_tf_off", "block_dl_off", "bucket",
+    "block_doc_off", "block_tf_off", "block_dl_off", "block_pos_off",
+    "bucket",
 ]
 
 

@@ -128,3 +128,29 @@ def test_searcher_refresh_resnapshots_index(spark, tmp_path):
     assert after == want
     assert after != before  # the corpus actually changed under it
     assert s.stats["n_docs"] != old_n_docs  # stats re-snapshotted
+
+
+def test_direct_vs_channel_serving_identity(spark, built, monkeypatch):
+    """The direct (pyarrow range-task) serving path and the Arrow-channel
+    path must return identical results for every strategy and range count
+    — QKB_SERVE_CHANNEL=1 is the A/B switch."""
+    qs = fixture_queries()[:8]
+    s = Searcher(spark, built)
+    direct = {
+        ("auto", "auto"): _ranked(s.topk(qs, k=10)),
+        ("auto", 4): _ranked(s.topk(qs, k=10, ranges=4)),
+        ("exact", 1): _ranked(s.topk(qs, k=10, strategy="exact", ranges=1)),
+        ("wand", 2): _ranked(s.topk(qs, k=10, strategy="wand", ranges=2)),
+    }
+    monkeypatch.setenv("QKB_SERVE_CHANNEL", "1")
+    assert _ranked(s.topk(qs, k=10)) == direct[("auto", "auto")]
+    assert _ranked(s.topk(qs, k=10, ranges=4)) == direct[("auto", 4)]
+    assert (
+        _ranked(s.topk(qs, k=10, strategy="exact", ranges=1))
+        == direct[("exact", 1)]
+    )
+    assert (
+        _ranked(s.topk(qs, k=10, strategy="wand", ranges=2))
+        == direct[("wand", 2)]
+    )
+    assert len(direct[("auto", "auto")]) > 50

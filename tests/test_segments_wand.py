@@ -346,3 +346,80 @@ def test_segment_scan_prunes_partitions_and_pushes_filters(spark, built, tmp_pat
     assert "block_max_tf" not in read_schema, (
         "column pruning failed — unprojected columns reach the scan"
     )
+
+
+# --------------------------------------------------------------------------
+# Phrase queries (format v5 block_pos_off + direct serving path)
+# --------------------------------------------------------------------------
+
+def _phrase_queries(chunks):
+    """Deterministic phrase set derived from REAL chunk text (so positives
+    must match at least their source chunk) plus negative controls."""
+    from quickb_spark.functions.tokenize import tokenize_py
+
+    rows = chunks.select("text").limit(12).collect()
+    queries, qi = [], 0
+    for r in rows:
+        toks = tokenize_py(r["text"])
+        if len(toks) >= 6:
+            for n in (2, 3, 4):
+                queries.append((f"p{qi:02d}", " ".join(toks[2 : 2 + n])))
+                qi += 1
+    assert len(queries) >= 9
+    # live terms in a near-certainly-never-adjacent order, and an absent term
+    queries.append(("pneg_absent", "def zzqqxxnotaterm"))
+    queries.append(("pneg_scrambled", "return def import class lambda yield"))
+    return queries
+
+
+def test_phrase_topk_matches_bruteforce_oracle(spark, built, oracle, chunks):
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _phrase_queries(chunks)
+    s = Searcher(spark, built)
+    got: dict[str, list] = {qid: [] for qid, _ in queries}
+    for r in s.topk(queries, k=10, phrase=True).collect():
+        got[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+    nonempty = 0
+    for qid, qtext in queries:
+        want = oracle.phrase_topk(qtext, 10)
+        have = sorted(got[qid])
+        assert [(r, d) for r, d, _ in have] == [(r, d) for r, d, _ in want], qid
+        for (_, _, a), (_, _, b) in zip(have, want):
+            assert abs(a - b) < 1e-6, qid
+        nonempty += bool(want)
+    # the corpus-derived phrases must actually retrieve something
+    assert nonempty >= len(queries) - 2
+    assert not got["pneg_absent"]
+
+
+def test_phrase_results_identical_for_all_range_counts(spark, built, chunks):
+    """Ranges partition the doc space — phrase verification + merge must be
+    range-count-invariant like the scoring path (tested ∀R there)."""
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _phrase_queries(chunks)[:8]
+    s = Searcher(spark, built)
+    want = sorted(map(tuple, s.topk(queries, k=10, phrase=True, ranges=1).collect()))
+    for r_count in (2, 5, 16):
+        got = sorted(
+            map(tuple, s.topk(queries, k=10, phrase=True, ranges=r_count).collect())
+        )
+        assert got == want, r_count
+
+
+def test_phrase_subset_of_unphrased_results(spark, built, chunks):
+    """Every phrase hit is also a plain-BM25 candidate with the SAME score
+    (phrase only restricts the result set, never changes scoring)."""
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _phrase_queries(chunks)[:6]
+    s = Searcher(spark, built)
+    phr = s.topk(queries, k=1000, phrase=True).collect()
+    plain = s.topk(queries, k=1000).collect()
+    plain_scores = {(r["query_id"], r["doc_id"]): r["score"] for r in plain}
+    assert phr
+    for r in phr:
+        key = (r["query_id"], r["doc_id"])
+        assert key in plain_scores
+        assert abs(plain_scores[key] - r["score"]) < 1e-12
