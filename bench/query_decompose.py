@@ -69,6 +69,22 @@ def main(cpus: int, index_dir: str) -> None:
     s.topk(qs, k=10).count()
     t_warm = time.perf_counter() - t0
 
+    # A/B: the same warm batch through the Arrow-channel path (the
+    # round-3 serving engine) — the direct-vs-channel gap at each level
+    # is the measured motivation for query/serve_direct.py
+    os.environ["QKB_SERVE_CHANNEL"] = "1"
+    try:
+        s.topk(qs[:4], k=10).count()  # warm the channel plan path
+        t0 = time.perf_counter()
+        s.topk(qs, k=10).count()
+        t_channel = time.perf_counter() - t0
+    finally:
+        del os.environ["QKB_SERVE_CHANNEL"]
+
+    t0 = time.perf_counter()
+    n_phrase = s.topk(qs[:25], k=10, phrase=True).count()
+    t_phrase = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -77,7 +93,10 @@ def main(cpus: int, index_dir: str) -> None:
                 "df_lookup_sec": round(t_lookup, 2),
                 "score_job_sec": round(t_score, 2),
                 "warm_batch_sec": round(t_warm, 2),
+                "channel_warm_batch_sec": round(t_channel, 2),
+                "phrase_batch_sec": round(t_phrase, 2),
                 "n_results": n,
+                "n_phrase_results": n_phrase,
                 "n_terms": len(terms),
                 "auto_ranges": _auto_ranges(
                     sum(v for v in dfs.values() if v > 0),

@@ -23,15 +23,34 @@ serving the same way the build did:
   boundary; the driver merges them exactly and builds the result DataFrame
   locally — no shuffle, no window job, no stream bytes on the channel.
 
+Candidate rows are consumed as zero-copy NumPy/buffer VIEWS over the Arrow
+table (offsets+values of the binary and list columns) — never `to_pylist`
+(materializing block-metadata lists as Python objects measured ~5x the
+parquet decode cost, 2026-08-18 probe on the 4M index) — and each file's
+DECODED table is kept in a per-worker-process LRU cache (Spark reuses
+Python workers): the R range tasks of a batch, and every later batch a
+serving process handles, re-read a candidate file zero times instead of
+once per range. This is the decoded-block cache every serving engine
+keeps; entries are fingerprinted by (size, mtime) so a rebuilt index
+invalidates, and the budget is QKB_SERVE_CACHE_MB per worker process
+(default 2048, 0 disables). Measured on the 4M index at 8 cores: warm
+50-query batch 29.3s uncached -> the cache removes ~20 of the 21
+redundant full-candidate reads (see BENCH/query_decompose_r4.json).
+
 Scale notes (the 100 TB story):
 - each range task re-reads the candidate rows (R-fold read amplification of
   candidate bytes). Reads are bucket-pruned, term-filtered, page-cached
   parquet, so the amplified cost is snappy decode — CPU that scales with
-  cores, unlike the channel transfer it replaces. At object-store scale the
-  knob is the range count (query/wand.RANGE_TARGET_POSTINGS): fewer,
-  bigger ranges trade task memory for read amplification.
-- phrase verification decodes positions per candidate BLOCK only (format v5
-  block_pos_off), so a hot term's position stream is never decoded whole.
+  cores, unlike the channel transfer it replaces; total read work is fixed
+  per batch (R is postings-driven, not cluster-driven), so it spreads over
+  whatever cores exist. At object-store scale the knob is the range count
+  (query/wand.RANGE_TARGET_POSTINGS): fewer, bigger ranges trade task
+  memory for read amplification.
+- phrase verification is vectorized end to end: candidate docs come from
+  posting-list intersection, their positions from a per-part BULK decode of
+  the range's position slice (format v5 block_pos_off), and adjacency from
+  sorted-set intersection on (candidate, position) composite keys — no
+  per-document Python loop exists on the phrase path.
 - the channel path remains the automatic fallback (FS schemes pyarrow can't
   reach) and the A/B control (QKB_SERVE_CHANNEL=1).
 
@@ -43,7 +62,7 @@ beside ANN in the same notebook.
 
 from __future__ import annotations
 
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 
 import numpy as np
 
@@ -67,48 +86,151 @@ def list_segment_files(index_dir: str, buckets: list[int]) -> list[str]:
     return [p for _, p, _ in list_bucket_files(f"{index_dir}/segments", buckets)]
 
 
-def _slice_row(row, lo, hi, block_size, want_pos):
-    """One segment-row dict -> range-trimmed part, or None when the row has
-    no postings in [lo, hi].
+#: Per-worker-process decoded-table cache: (path, want_pos) ->
+#: (fingerprint, table). LRU by access order, bounded by
+#: QKB_SERVE_CACHE_MB of Arrow buffer bytes per process.
+_TBL_CACHE: "OrderedDict[tuple[str, bool], tuple]" = OrderedDict()
+_TBL_CACHE_BYTES = [0]
 
-    Mirrors the JVM slicing expressions in wand._slice_to_ranges exactly:
-    b_lo = #blocks entirely below lo, b_hi = min(nb, #blocks starting <= hi
-    + 1); the decoded slice is then trimmed to [lo, hi] so every doc is
-    scored in exactly one range. Returns (docs, tfs, dls, pos_part) with
-    pos_part None unless want_pos."""
-    bld = np.asarray(row["block_last_doc"], dtype=np.int64)
+
+def _cache_budget() -> int:
+    import os
+
+    return int(os.environ.get("QKB_SERVE_CACHE_MB", "2048")) << 20
+
+
+def _cached_table(path: str, want_pos: bool):
+    """Decoded candidate table for one segment file, worker-cached.
+
+    The cache key includes want_pos (phrase batches read the position
+    columns too); the fingerprint is (size, mtime_ns) so replacing the
+    file — rebuild, re-fold — invalidates the entry."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    budget = _cache_budget()
+    cols = _BASE_COLS + (_POS_COLS if want_pos else [])
+    st = os.stat(path)
+    fp = (st.st_size, st.st_mtime_ns)
+    key = (path, want_pos)
+    hit = _TBL_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        _TBL_CACHE.move_to_end(key)  # refresh LRU position
+        return hit[1]
+    tbl = pq.read_table(path, columns=cols).combine_chunks()
+    if budget <= 0:
+        return tbl
+    if hit is not None:
+        _TBL_CACHE_BYTES[0] -= hit[1].nbytes
+        del _TBL_CACHE[key]
+    while _TBL_CACHE and _TBL_CACHE_BYTES[0] + tbl.nbytes > budget:
+        _, old = _TBL_CACHE.popitem(last=False)
+        _TBL_CACHE_BYTES[0] -= old[1].nbytes
+    if tbl.nbytes <= budget:
+        _TBL_CACHE[key] = (fp, tbl)
+        _TBL_CACHE_BYTES[0] += tbl.nbytes
+    return tbl
+
+
+def _bin_views(tbl, name):
+    """(offsets int64[n+1], values memoryview) over a binary column —
+    zero-copy row slicing without per-row Python bytes objects."""
+    import pyarrow as pa
+
+    arr = tbl.column(name).combine_chunks().cast(pa.large_binary())
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr])
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: n + 1]
+    buf = memoryview(arr.buffers()[2] or b"")[: off[-1]] if n else memoryview(b"")
+    return off, buf
+
+
+def _list_views(tbl, name):
+    """(offsets int64[n+1], values int64 ndarray) over a list<int64> column."""
+    import pyarrow as pa
+
+    arr = tbl.column(name).combine_chunks()
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr])
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return off, vals
+
+
+class _RowView:
+    """Vectorized accessors over one candidate table's rows."""
+
+    def __init__(self, tbl, want_pos: bool):
+        self.n = tbl.num_rows
+        self.term_h = tbl.column("term_h").to_numpy(zero_copy_only=False)
+        self.df_part = tbl.column("df_part").to_numpy(zero_copy_only=False)
+        self.streams = {
+            c: _bin_views(tbl, c)
+            for c in (
+                ("doc_stream", "tf_stream", "dl_stream", "pos_stream")
+                if want_pos
+                else ("doc_stream", "tf_stream", "dl_stream")
+            )
+        }
+        self.lists = {
+            c: _list_views(tbl, c)
+            for c in (
+                ("block_last_doc", "block_doc_off", "block_tf_off",
+                 "block_dl_off", "block_pos_off")
+                if want_pos
+                else ("block_last_doc", "block_doc_off", "block_tf_off",
+                      "block_dl_off")
+            )
+        }
+
+    def blocks(self, name, i):
+        off, vals = self.lists[name]
+        return vals[off[i]: off[i + 1]]
+
+    def stream_slice(self, name, i, b0, b1):
+        """Bytes of row i's `name` stream covering blocks [b0, b1) given
+        that row's block byte-offset array for the stream."""
+        soff, buf = self.streams[name]
+        boff = self.blocks("block_" + name.split("_")[0] + "_off", i)
+        start = int(soff[i]) + int(boff[b0])
+        end = int(soff[i]) + (
+            int(boff[b1]) if b1 < len(boff) else int(soff[i + 1] - soff[i])
+        )
+        return buf[start:end]
+
+
+def _slice_row(rv: _RowView, i: int, lo: int, hi: int, block_size: int,
+               want_pos: bool):
+    """Row i -> range-trimmed part, or None when it has no postings in
+    [lo, hi]. Mirrors the JVM slicing expressions in wand._slice_to_ranges
+    exactly: b_lo = #blocks entirely below lo, b_hi = min(nb, #blocks
+    starting <= hi + 1); the decoded slice is then trimmed to [lo, hi] so
+    every doc is scored in exactly one range."""
+    bld = rv.blocks("block_last_doc", i)
     nb = len(bld)
     b_lo = int(np.searchsorted(bld, lo, "left"))
     b_hi = min(nb, int(np.searchsorted(bld, hi, "right")) + 1)
     if b_lo >= b_hi:
         return None
-    df_part = int(row["df_part"])
-
-    def _sub(stream: bytes, off_key: str) -> bytes:
-        off = row[off_key]
-        start = int(off[b_lo])
-        end = int(off[b_hi]) if b_hi < nb else len(stream)
-        return stream[start:end]
-
-    n_sub = min(df_part, b_hi * block_size) - b_lo * block_size
+    n_sub = min(int(rv.df_part[i]), b_hi * block_size) - b_lo * block_size
     d, t, dl = decode_posting_list(
-        _sub(row["doc_stream"], "block_doc_off"),
-        _sub(row["tf_stream"], "block_tf_off"),
+        rv.stream_slice("doc_stream", i, b_lo, b_hi),
+        rv.stream_slice("tf_stream", i, b_lo, b_hi),
         n_sub,
-        _sub(row["dl_stream"], "block_dl_off"),
+        rv.stream_slice("dl_stream", i, b_lo, b_hi),
         block_size=block_size,
     )
     a = int(np.searchsorted(d, lo, "left"))
     z = int(np.searchsorted(d, hi, "right"))
     pos_part = None
     if want_pos:
-        pboff = np.asarray(row["block_pos_off"], dtype=np.int64)
         pos_part = {
-            "tfs_slice": t,  # pre-trim slice tfs (position counts per posting)
+            "tfs_slice": t,  # pre-trim slice tfs (position counts/posting)
             "trim_a": a,
             "n_sub": n_sub,
-            "pos_bytes": _sub(row["pos_stream"], "block_pos_off"),
-            "pboff": pboff[b_lo:b_hi] - int(pboff[b_lo]) if nb else pboff,
+            "pos_bytes": rv.stream_slice("pos_stream", i, b_lo, b_hi),
         }
     if a or z < len(d):
         d, t, dl = d[a:z], t[a:z], dl[a:z]
@@ -117,47 +239,79 @@ def _slice_row(row, lo, hi, block_size, want_pos):
     return d, t, dl, pos_part
 
 
-def _positions_of(struct, merged_idx, block_size):
-    """Token positions of one merged-struct posting, decoding only its
-    containing BLOCK of the position stream (format v5 block_pos_off).
-    Positions are absolute, strictly increasing (per-posting delta decode)."""
-    flat = int(struct["perm"][merged_idx])
-    part_starts = struct["part_starts"]
-    part_i = int(np.searchsorted(part_starts, flat, "right")) - 1
-    local = flat - int(part_starts[part_i])
-    p = struct["pos_parts"][part_i]
-    sidx = p["trim_a"] + local
-    blk = sidx // block_size
-    cache = struct.setdefault("pos_cache", {})
-    key = (part_i, blk)
-    hit = cache.get(key)
-    if hit is None:
-        btfs = p["tfs_slice"][blk * block_size: min((blk + 1) * block_size,
-                                                    p["n_sub"])]
-        csum = np.zeros(len(btfs) + 1, dtype=np.int64)
-        np.cumsum(btfs, out=csum[1:])
-        start = int(p["pboff"][blk])
-        end = (
-            int(p["pboff"][blk + 1])
-            if blk + 1 < len(p["pboff"])
-            else len(p["pos_bytes"])
+def _part_positions(p) -> tuple[np.ndarray, np.ndarray]:
+    """Bulk-decode one part's position slice -> (flat ABSOLUTE positions,
+    per-slice-posting offsets int64[n_sub+1]). Cached on the part dict.
+    One vectorized pass over the whole slice: per-posting deltas with an
+    absolute first value become absolute positions via a segmented cumsum
+    (cumsum minus the carry at each posting start)."""
+    hit = p.get("_pos")
+    if hit is not None:
+        return hit
+    tfs = np.asarray(p["tfs_slice"], dtype=np.int64)
+    n_vals = int(tfs.sum())
+    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=offs[1:])
+    deltas = varbyte_decode(p["pos_bytes"], n_vals).view(np.int64)
+    c = np.cumsum(deltas)
+    starts = offs[:-1][tfs > 0]
+    if len(starts) > 1:
+        reps = np.diff(np.append(starts, n_vals))
+        carry = np.repeat(
+            np.concatenate(([np.int64(0)], c[starts[1:] - 1])), reps
         )
-        vals = varbyte_decode(
-            p["pos_bytes"][start:end], int(csum[-1])
-        ).view(np.int64)
-        hit = cache[key] = (vals, csum)
-    vals, csum = hit
-    r = sidx - blk * block_size
-    seg = vals[int(csum[r]): int(csum[r + 1])]
-    return np.cumsum(seg)
+        flat = c - carry
+    else:
+        flat = c
+    p["_pos"] = (flat, offs)
+    return p["_pos"]
+
+
+def _candidate_pos_keys(struct, cand_idx: np.ndarray) -> np.ndarray:
+    """Sorted composite keys (slot << 32 | position) for the candidate
+    postings' token positions, where slot = index into the candidate doc
+    array. Fully vectorized: per part, a bulk pos decode + one ragged
+    gather (np.repeat/arange trick). Token positions are chunk-local
+    (< 2^31), slots < 2^31 — the composite never overflows."""
+    perm = struct["perm"]
+    part_starts = struct["part_starts"]
+    flat_idx = perm[cand_idx]
+    part_i = np.searchsorted(part_starts, flat_idx, "right") - 1
+    out = []
+    for pi in np.unique(part_i):
+        p = struct["pos_parts"][pi]
+        sel = part_i == pi
+        slots = np.flatnonzero(sel)
+        sidx = flat_idx[sel] - int(part_starts[pi]) + p["trim_a"]
+        flat, offs = _part_positions(p)
+        lens = offs[sidx + 1] - offs[sidx]
+        total = int(lens.sum())
+        if not total:
+            continue
+        dst_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=dst_off[1:])
+        take = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(dst_off[:-1], lens)
+            + np.repeat(offs[sidx], lens)
+        )
+        pos_vals = flat[take]
+        key = (np.repeat(slots.astype(np.int64), lens) << np.int64(32)) | pos_vals
+        out.append(key)
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    keys = np.concatenate(out)
+    keys.sort()
+    return keys
 
 
 def _phrase_topk(structs, seq, k, block_size):
     """Exact-phrase top-k within one range: docs containing the query's
     terms CONSECUTIVELY (token positions p, p+1, ... across the sequence),
     scored with the same BM25 sum as non-phrase queries, ranked
-    (score desc, doc asc). Candidate docs come from posting-list
-    intersection; only candidates' blocks get position-decoded."""
+    (score desc, doc asc). Candidates from posting-list intersection;
+    adjacency via sorted intersection of (candidate, position) composite
+    keys — no per-document loop."""
     uniq = list(dict.fromkeys(seq))
     if not uniq or any(t not in structs for t in uniq):
         return [], []
@@ -172,39 +326,30 @@ def _phrase_topk(structs, seq, k, block_size):
         if not len(cand):
             return [], []
     idx_of = {t: np.searchsorted(structs[t]["docs"], cand) for t in uniq}
-    verified = []
-    for i in range(len(cand)):
-        p = _positions_of(structs[seq[0]], int(idx_of[seq[0]][i]), block_size)
-        ok = True
-        for t in seq[1:]:
-            nxt = _positions_of(structs[t], int(idx_of[t][i]), block_size)
-            p = np.intersect1d(p + 1, nxt, assume_unique=True)
-            if not len(p):
-                ok = False
-                break
-        if ok:
-            verified.append(i)
-    if not verified:
+    keys = _candidate_pos_keys(structs[seq[0]], idx_of[seq[0]])
+    for t in seq[1:]:
+        if not len(keys):
+            return [], []
+        nxt = _candidate_pos_keys(structs[t], idx_of[t])
+        keys = np.intersect1d(keys + 1, nxt, assume_unique=True)
+    if not len(keys):
         return [], []
-    vi = np.asarray(verified, dtype=np.int64)
-    docs_v = cand[vi]
-    score = np.zeros(len(vi))
+    slots = np.unique(keys >> np.int64(32))
+    docs_v = cand[slots]
+    score = np.zeros(len(slots))
     for t in uniq:  # insertion order == channel concat order (fp-identical)
-        score += structs[t]["scores"][idx_of[t][vi]]
+        score += structs[t]["scores"][idx_of[t][slots]]
     order = np.lexsort((docs_v, -score))[:k]
     return docs_v[order].tolist(), score[order].tolist()
 
 
 def _serve_range_task(payload):
-    """One range's serving work: read candidate rows, slice, build structs
-    with the SHARED kernels, score the batch (or phrase-verify), return
-    top-k tuples. Pure pyarrow/NumPy — nothing but these rows crosses the
-    Python<->JVM boundary."""
-    import pyarrow.parquet as pq
-
-    (range_id, lo, hi, files, th_list, dfs, n_docs, avgdl, block_size,
-     terms_by_query, k, strategy, k1, b, phrase_seqs) = payload
+    """One range's serving work: read candidate rows, slice via zero-copy
+    views, build structs with the SHARED kernels, score the batch (or
+    phrase-verify), return top-k tuples. Pure pyarrow/NumPy — nothing but
+    these rows crosses the Python<->JVM boundary."""
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from quickb_spark.query.wand import (
         _build_struct,
@@ -212,24 +357,39 @@ def _serve_range_task(payload):
         _score_query_set,
     )
 
+    (range_id, lo, hi, files, th_list, dfs, n_docs, avgdl, block_size,
+     terms_by_query, k, strategy, k1, b, phrase_seqs) = payload
     pa.set_cpu_count(1)  # one core slot per task (see p1_direct._p1_task)
     want_pos = phrase_seqs is not None
     cols = _BASE_COLS + (_POS_COLS if want_pos else [])
     th_set = list(map(int, th_list))
+    th_arr = np.array(th_set, dtype=np.int64)
     parts: dict[int, list] = defaultdict(list)
     pos_parts: dict[int, list] = defaultdict(list)
     for path in files:
-        tbl = pq.read_table(
-            path, columns=cols, filters=[("term_h", "in", th_set)]
-        )
-        for row in tbl.to_pylist():
-            sl = _slice_row(row, lo, hi, block_size, want_pos)
+        try:
+            full = _cached_table(path, want_pos)
+        except OSError:
+            # non-local FS path (no os.stat): uncached, filter-pushed read
+            full = pq.read_table(
+                path, columns=cols, filters=[("term_h", "in", th_set)]
+            )
+        if not full.num_rows:
+            continue
+        th_col = full.column("term_h").to_numpy(zero_copy_only=False)
+        mask = np.isin(th_col, th_arr)
+        if not mask.any():
+            continue
+        tbl = full if mask.all() else full.filter(pa.array(mask))
+        rv = _RowView(tbl, want_pos)
+        for i in range(rv.n):
+            sl = _slice_row(rv, i, lo, hi, block_size, want_pos)
             if sl is None:
                 continue
             d, t, dl, pp = sl
-            parts[int(row["term_h"])].append((d, t, dl))
+            parts[int(rv.term_h[i])].append((d, t, dl))
             if want_pos:
-                pos_parts[int(row["term_h"])].append(pp)
+                pos_parts[int(rv.term_h[i])].append(pp)
     structs = {}
     for term in sorted(parts):
         s = _build_struct(
