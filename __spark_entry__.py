@@ -5,9 +5,11 @@ BM25 top-k) on sf0.001. `queries()` exposes one entry per implemented
 operator from SURVEY.md §2; `oracle_sql()` gives each a DuckDB-equivalent
 ANSI-SQL string. Rows-only entries (no SQL oracle by nature — recursive /
 fixed-token / semantic (cluster-DP, Kamradt-threshold) chunking, simhash,
-LSH-ANN, compressed-segment WAND serving,
-resumability lineage, multimodal kernels, greedy near-dup, seeded split)
-are covered by the Python/reference-execution oracles in tests/.
+LSH-ANN, compressed-segment WAND serving, segment-engine exact-phrase
+serving (t5_phrase_segments — its hash-matched declarative twin is
+t5_phrase_topk), resumability lineage, multimodal kernels, greedy
+near-dup, seeded split) are covered by the Python/reference-execution
+oracles in tests/.
 """
 
 from __future__ import annotations
