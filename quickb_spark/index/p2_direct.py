@@ -664,7 +664,7 @@ def merge_encode_buckets(
 ) -> list[dict]:
     """Merge-encode the given buckets' sorted-runs checkpoint, biggest work
     first. A bucket is split into term-granular sub-tasks when its runs
-    exceed ~1/(4*cores) of the wave's bytes (Zipf skew makes the hottest
+    exceed ~1/256 of the wave's bytes (Zipf skew makes the hottest
     bucket several times the median — unsplit it IS the wave's makespan)
     OR when its estimated decoded working set (run bytes x
     {_RUN_MEM_EXPANSION}) exceeds `task_mem_bytes` — the MEMORY GUARD: a
@@ -687,9 +687,19 @@ def merge_encode_buckets(
         by_bucket.setdefault(b, []).append((p, sz))
     if not by_bucket:
         return []
-    cores = spark.sparkContext.defaultParallelism
     total = sum(sz for _, p in by_bucket.items() for _, sz in p)
-    target = target_bytes or max(8 << 20, total // (4 * cores))
+    # Work-balance split target is CLUSTER-SIZE-INDEPENDENT (same principle
+    # as IndexConfig.p1_task_bytes): ~one unit per median bucket, so only
+    # Zipf-hot buckets (several x the median) split, in proportion to their
+    # size — exactly the straggler bound splitting exists for. The part
+    # that matters for comparability: the SEGMENT FILE LAYOUT is now
+    # identical at every cluster size (the previous total/(4*cores) target
+    # tied the split count, the split re-read amplification, and the
+    # serving-side file count to the builder's core count). More units
+    # than buckets only helps while splits are cheaper than their re-read
+    # cost — at real scale the unit count is driven by term_buckets, which
+    # grows into the thousands long before executor counts do.
+    target = target_bytes or max(32 << 20, total // max(64, len(by_bucket)))
     mem_budget = task_mem_bytes or (4 << 30)
     if ds_dir is not None:
         from pyarrow import fs as pafs

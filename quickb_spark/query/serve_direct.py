@@ -33,9 +33,12 @@ serving process handles, re-read a candidate file zero times instead of
 once per range. This is the decoded-block cache every serving engine
 keeps; entries are fingerprinted by (size, mtime) so a rebuilt index
 invalidates, and the budget is QKB_SERVE_CACHE_MB per worker process
-(default 2048, 0 disables). Measured on the 4M index at 8 cores: warm
-50-query batch 29.3s uncached -> the cache removes ~20 of the 21
-redundant full-candidate reads (see BENCH/query_decompose_r4.json).
+(default 6144 — size it ABOVE the hot working set: a budget just under it
+turns the LRU into sequential-scan thrash; 0 disables). Measured on the
+4M index at 8 cores: warm 50-query batch 29.3s uncached -> 15.4s cached
+(see BENCH/query_decompose_r4.json). `Searcher.preload()` loads the
+tables at server construction — the Lucene-style index open — so even
+the FIRST batch skips the cold segment read.
 
 Scale notes (the 100 TB story):
 - each range task re-reads the candidate rows (R-fold read amplification of
@@ -68,7 +71,7 @@ import numpy as np
 
 from quickb_spark.index.encode import decode_posting_list, varbyte_decode
 
-__all__ = ["serve_topk_direct", "list_segment_files"]
+__all__ = ["serve_topk_direct", "list_segment_files", "preload_files"]
 
 #: Segment-row columns every serving read needs; position columns join in
 #: phrase mode only.
@@ -96,7 +99,39 @@ _TBL_CACHE_BYTES = [0]
 def _cache_budget() -> int:
     import os
 
-    return int(os.environ.get("QKB_SERVE_CACHE_MB", "2048")) << 20
+    # default sized ABOVE the 4M-doc fixture index's decoded candidate set
+    # (~2.1 GB): a budget just under the working set turns the LRU into a
+    # sequential-scan thrash (each new file evicts the next task's first
+    # file) — measured as warm batches running at cold speed
+    return int(os.environ.get("QKB_SERVE_CACHE_MB", "6144")) << 20
+
+
+def preload_files(spark, files: list[str], want_pos: bool = False,
+                  rounds: int = 2) -> int:
+    """Best-effort warm of every executor worker's decoded-table cache —
+    the index-open step of a serving process (Lucene-style: segments load
+    at reader open, not on the first query). One task per task slot, each
+    loading every candidate file; `rounds` repeats catch workers the
+    scheduler skipped in an earlier round (worker reuse makes repeats
+    near-free). Returns the per-worker decoded byte count of the last
+    round's first task."""
+    sc = spark.sparkContext
+    par = max(1, sc.defaultParallelism)
+
+    def _load(_i):
+        total = 0
+        for f in files:
+            try:
+                total += _cached_table(f, want_pos).nbytes
+            except OSError:
+                return 0  # non-local FS: nothing to preload
+        return total
+
+    out = 0
+    for _ in range(max(1, rounds)):
+        res = sc.parallelize(range(par), par).map(_load).collect()
+        out = res[0] if res else 0
+    return out
 
 
 def _cached_table(path: str, want_pos: bool):
