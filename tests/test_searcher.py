@@ -130,6 +130,27 @@ def test_searcher_refresh_resnapshots_index(spark, tmp_path):
     assert s.stats["n_docs"] != old_n_docs  # stats re-snapshotted
 
 
+def test_preload_warms_caches_and_preserves_results(spark, built):
+    """preload() is the serving warm-open: it must decode every segment
+    file into the worker caches (non-zero byte count on a local FS),
+    positions-included when phrase serving is expected, and must not
+    change any result."""
+    qs = fixture_queries()[:8]
+    want = _ranked(Searcher(spark, built).topk(qs, k=10))
+
+    s = Searcher(spark, built)
+    warmed = s.preload()
+    assert warmed > 0  # tmp-path index is pyarrow-reachable
+    # phrase warm loads the position columns too — strictly more bytes
+    assert s.preload(phrase=True) > warmed
+    assert _ranked(s.topk(qs, k=10)) == want
+
+    # channel fallback (no pyarrow-reachable listing): preload is a no-op,
+    # not an error
+    s._seg_files = None
+    assert s.preload() == 0
+
+
 def test_direct_vs_channel_serving_identity(spark, built, monkeypatch):
     """The direct (pyarrow range-task) serving path and the Arrow-channel
     path must return identical results for every strategy and range count
