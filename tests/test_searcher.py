@@ -143,6 +143,8 @@ def test_preload_warms_caches_and_preserves_results(spark, built):
     assert warmed > 0  # tmp-path index is pyarrow-reachable
     # phrase warm loads the position columns too — strictly more bytes
     assert s.preload(phrase=True) > warmed
+    # arena pretouch path (small: exercises the alloc/touch/free loop)
+    assert s.preload(pretouch_mb=64) == warmed
     assert _ranked(s.topk(qs, k=10)) == want
 
     # channel fallback (no pyarrow-reachable listing): preload is a no-op,
