@@ -329,6 +329,51 @@ def _q_decomp_md(hrows) -> str:
     )
 
 
+def _commit_era_md(rows, clean) -> str:
+    """Per-engine-era medians: pairs grouped by the commit their trials
+    recorded, in first-appearance order. The pooled headline never drops
+    recorded pairs, but the engine under test changes across a round —
+    this table shows what the engine AT EACH COMMIT measured, so a
+    current-engine number is readable without hiding older pairs.
+    A pair whose two trials carry different commits (an engine edit
+    landed between its levels) is tagged with both."""
+    order: list[str] = []
+    groups: dict[str, list[dict]] = {}
+    for r in rows:
+        cl = r["lo"].get("commit") or "pre-tag"
+        ch = r["hi"].get("commit") or "pre-tag"
+        key = cl if cl == ch else f"{cl}/{ch}"
+        if key not in groups:
+            order.append(key)
+            groups[key] = []
+        groups[key].append(r)
+    if len(order) <= 1:
+        return ""
+    lines = [
+        "\nPer-engine-era medians (pairs grouped by recorded commit, in "
+        "recording order; the pooled headline above includes every clean "
+        "pair regardless of era — this table separates engine progress "
+        "from protocol noise; q-eff rows before the round-4 serving "
+        "rework measure the retired Arrow-channel/cold-cache path):\n",
+        "| engine commit(s) | pairs (clean) | median eff | median q-eff "
+        "| median warm q-eff |",
+        "|---|---|---|---|---|",
+    ]
+    for key in order:
+        grp = groups[key]
+        cgrp = [r for r in grp if r in clean]
+        use = cgrp if cgrp else grp
+        warm = [r["q_warm_eff"] for r in use if r["q_warm_eff"] is not None]
+        warm_s = f"{_median(warm):.3f}" if warm else "n/a"
+        lines.append(
+            f"| {key} | {len(grp)} ({len(cgrp)}) "
+            f"| {_median([r['eff'] for r in use]):.3f} "
+            f"| {_median([r['q_eff'] for r in use]):.3f} "
+            f"| {warm_s} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
 def write_report(args, complete, companions=()) -> None:
     """Render BENCH/BASELINE.md from complete matched pairs.
 
@@ -590,6 +635,7 @@ full distribution {', '.join(f'{e:.3f}' for e in effs)}).
 {len(clean) if use_clean else len(rows)} pairs: {med_q_eff:.3f}**
 (1/4 = parity; the batch must at minimum not get
 slower with 4x workers; 95% CI {_fmt_ci(ci_q)}).{_q_decomp_md(hrows)}
+{_commit_era_md(rows, clean)}
 Best absolute 4N build throughput: {best_thr['hi']['files_per_sec']}
 files/sec (pair {best_thr['pair']}).
 {phase_md}
