@@ -22,10 +22,12 @@ if REPO not in sys.path:
 def main(cpus: int, index_dir: str) -> None:
     from pyspark.sql import SparkSession
 
+    from quickb_spark.session import tune_builder
+
     exec_cores = int(os.environ.get("QKB_EXEC_CORES", "2"))
     workers = max(1, cpus // exec_cores)
     spark = (
-        SparkSession.builder
+        tune_builder(SparkSession.builder)
         .master(f"local-cluster[{workers},{exec_cores},14336]")
         .config("spark.driver.memory", "8g")
         .config("spark.executor.memory", "12g")

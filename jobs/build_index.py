@@ -50,7 +50,11 @@ def main() -> None:
     from quickb_spark.config import EngineConfig, IndexConfig
     from quickb_spark.index.segments import build_index, segments_meta
 
-    spark = SparkSession.builder.appName("quickb-build-index").getOrCreate()
+    from quickb_spark.session import tune_builder
+
+    spark = tune_builder(
+        SparkSession.builder.appName("quickb-build-index")
+    ).getOrCreate()
     cfg = EngineConfig(
         index=IndexConfig(
             term_buckets=args.term_buckets,

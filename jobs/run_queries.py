@@ -44,7 +44,11 @@ def main() -> None:
     from quickb_spark.query.searcher import Searcher
     from quickb_spark.query.wand import bm25_topk_segments
 
-    spark = SparkSession.builder.appName("quickb-run-queries").getOrCreate()
+    from quickb_spark.session import tune_builder
+
+    spark = tune_builder(
+        SparkSession.builder.appName("quickb-run-queries")
+    ).getOrCreate()
     if args.queries.endswith(".csv"):
         queries = spark.read.option("header", "true").csv(args.queries)
     else:
