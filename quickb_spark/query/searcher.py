@@ -17,9 +17,19 @@ The Searcher removes all of them from the per-batch path:
 - term -> bucket pruning literals use the pure-Python xxhash64 mirror
   (functions/hashing.py, bit-identical to F.xxhash64 — tested);
 - global per-term df comes from the build-time lexicon (segments.py phase
-  3), read bucket-pruned only for terms not yet in the Searcher's
-  process-lifetime df cache — a serving workload's repeated terms never
-  touch storage twice;
+  3). At `preload()` (index open) the whole lexicon loads DRIVER-side into
+  two sorted NumPy arrays when it fits QKB_LEX_DRIVER_MB (default 1024 —
+  a (term_h, df) pair is 16 bytes, so the default holds ~67M terms; the
+  4M-doc fixture's vocabulary is ~3 orders of magnitude under that), the
+  same way Lucene loads the term dictionary at reader open: a df lookup
+  is then a searchsorted probe, and NO Spark job exists on the serving
+  path at all (the round-4 pools measured the fresh-server lexicon-scan
+  job costing 1.5-17s at 4N depending on which executor JVMs the tiny
+  scan landed on — a fixed cost no parallelism can shrink). Indexes
+  whose lexicon exceeds the cap (or a Searcher that never preloads) fall
+  back to the bucket-pruned Spark lookup, cached per term with negative
+  caching — a serving workload's repeated terms never touch storage
+  twice;
 - the auto range split is computed from those cached dfs.
 
 Per batch the remaining Spark work is ONE job, and by default it is the
@@ -96,6 +106,9 @@ class Searcher:
         #: bucket -> candidate segment file paths (direct serving path);
         #: None means the direct path is unavailable for this index's FS
         self._seg_files: dict[int, list[str]] | None = {}
+        #: driver-resident term dictionary: (term_h sorted int64, df int64)
+        #: arrays, loaded by load_lexicon()/preload(); None = lazy Spark path
+        self._lex_mem: tuple | None = None
 
     def _files_for(self, buckets: list[int]) -> list[str] | None:
         """Cached candidate segment files for the buckets; None when the
@@ -119,6 +132,51 @@ class Searcher:
             self._seg_files.update(by_b)
         return [p for b in buckets for p in self._seg_files[b]]
 
+    def load_lexicon(self, max_mb: int | None = None) -> bool:
+        """Load the whole (term_h, df) lexicon driver-side as two sorted
+        NumPy arrays — the term dictionary a search server holds in memory
+        from reader open. A df lookup becomes a searchsorted probe and the
+        serving path runs ZERO Spark jobs besides the one scoring job.
+
+        Skipped (returns False) when the lexicon's on-disk parquet exceeds
+        `max_mb` (default QKB_LEX_DRIVER_MB, 1024 — decoded pairs are 16
+        bytes/term, so the parquet cap keeps the driver arrays well under
+        ~2 GB even at ~100M terms) or the FS is not pyarrow-reachable; the
+        bucket-pruned Spark lookup then remains the lazy path."""
+        import numpy as np
+
+        if max_mb is None:
+            max_mb = int(os.environ.get("QKB_LEX_DRIVER_MB", "1024"))
+        try:
+            from quickb_spark.index.p2_direct import (
+                list_bucket_files,
+                pyarrow_fs_for,
+            )
+
+            lex_dir = f"{self.index_dir}/lexicon"
+            listed = list_bucket_files(lex_dir, list(range(self.n_buckets)))
+            if not listed or sum(sz for _, _, sz in listed) > max_mb << 20:
+                return False
+            import pyarrow.parquet as pq
+
+            fsys, _ = pyarrow_fs_for(lex_dir)
+            th_parts, df_parts = [], []
+            for _b, path, _sz in listed:
+                t = pq.read_table(
+                    path, columns=["term_h", "df"], filesystem=fsys
+                )
+                th_parts.append(
+                    t.column("term_h").to_numpy(zero_copy_only=False)
+                )
+                df_parts.append(t.column("df").to_numpy(zero_copy_only=False))
+        except Exception:
+            return False
+        th = np.concatenate(th_parts).astype(np.int64, copy=False)
+        df = np.concatenate(df_parts).astype(np.int64, copy=False)
+        order = np.argsort(th, kind="stable")
+        self._lex_mem = (th[order], df[order])
+        return True
+
     def preload(self, phrase: bool = False,
                 pretouch_mb: int | None = None) -> int:
         """Index-open for serving: load every segment file's decoded table
@@ -129,7 +187,11 @@ class Searcher:
         per-worker decoded byte count (0 when the FS is not reachable from
         Python — the channel fallback has no worker cache to warm).
         pretouch_mb additionally pre-grows each worker's malloc arena (see
-        serve_direct.preload_files; default QKB_SERVE_PRETOUCH_MB)."""
+        serve_direct.preload_files; default QKB_SERVE_PRETOUCH_MB).
+        Also loads the term dictionary driver-side (load_lexicon) so no
+        per-batch Spark lookup job remains."""
+        if self._lex_mem is None:
+            self.load_lexicon()
         files = self._files_for(list(range(self.n_buckets)))
         if not files:
             return 0
@@ -144,14 +206,29 @@ class Searcher:
             # v4 lexicon is keyed by term_h; hash with the bit-identical
             # driver-side mirror, then map back to the query's strings
             mh = {xxhash64(t): t for t in missing}
-            buckets = sorted({bucket_of(t, self.n_buckets) for t in missing})
-            rows = (
-                self.lex.filter(F.col("bucket").isin(buckets))
-                .filter(F.col("term_h").isin(list(mh)))
-                .select("term_h", "df")
-                .collect()
-            )
-            found = {mh[int(r["term_h"])]: int(r["df"]) for r in rows}
+            if self._lex_mem is not None:
+                import numpy as np
+
+                th_arr, df_arr = self._lex_mem
+                probe = np.fromiter(mh, dtype=np.int64, count=len(mh))
+                pos = np.searchsorted(th_arr, probe)
+                ok = (pos < len(th_arr)) & (th_arr[np.minimum(
+                    pos, len(th_arr) - 1)] == probe)
+                found = {
+                    mh[int(h)]: int(df_arr[int(p)])
+                    for h, p, o in zip(probe, pos, ok) if o
+                }
+            else:
+                buckets = sorted(
+                    {bucket_of(t, self.n_buckets) for t in missing}
+                )
+                rows = (
+                    self.lex.filter(F.col("bucket").isin(buckets))
+                    .filter(F.col("term_h").isin(list(mh)))
+                    .select("term_h", "df")
+                    .collect()
+                )
+                found = {mh[int(r["term_h"])]: int(r["df"]) for r in rows}
             if len(self._df_cache) + len(missing) > _DF_CACHE_MAX:
                 drop = len(self._df_cache) + len(missing) - _DF_CACHE_MAX
                 for key in list(self._df_cache)[:drop]:

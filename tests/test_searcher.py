@@ -177,3 +177,31 @@ def test_direct_vs_channel_serving_identity(spark, built, monkeypatch):
         == direct[("wand", 2)]
     )
     assert len(direct[("auto", "auto")]) > 50
+
+
+def test_driver_side_lexicon_identity(spark, built):
+    """load_lexicon() (the preload term dictionary) must answer every df
+    lookup identically to the Spark bucket-pruned path — results, negative
+    caching, and the absent-term short circuit included."""
+    qs = fixture_queries()[:8]
+    lazy = Searcher(spark, built)
+    want = _ranked(lazy.topk(qs, k=10))
+
+    s = Searcher(spark, built)
+    assert s.load_lexicon() is True
+    assert s._lex_mem is not None
+    got = _ranked(s.topk(qs, k=10))
+    assert got == want
+    # the two paths must agree term-by-term, absent terms included
+    probe = sorted(set(lazy._df_cache)) + ["zzqqxxnotaterm"]
+    assert s._lookup_dfs(probe) == lazy._lookup_dfs(probe)
+    assert s._df_cache["zzqqxxnotaterm"] == 0
+    # a zero cap refuses the driver-side load (lazy path kept)
+    s2 = Searcher(spark, built)
+    assert s2.load_lexicon(max_mb=0) is False
+    assert s2._lex_mem is None
+    # preload() loads it implicitly
+    s3 = Searcher(spark, built)
+    s3.preload()
+    assert s3._lex_mem is not None
+    assert _ranked(s3.topk(qs, k=10)) == want
