@@ -329,6 +329,31 @@ def _q_decomp_md(hrows) -> str:
     )
 
 
+_ENGINE_COMMIT_CACHE: dict = {}
+
+
+def _engine_commit(recorded: str | None) -> str:
+    """Map a trial's recorded HEAD commit to the last commit at-or-before
+    it that touched the MEASURED code (quickb_spark/ or the scale worker).
+    Trials stamp live HEAD, so doc/report-only commits landing mid-pool
+    would otherwise split one engine into several cosmetic 'eras'."""
+    if not recorded:
+        return "pre-tag"
+    hit = _ENGINE_COMMIT_CACHE.get(recorded)
+    if hit is not None:
+        return hit
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%h", recorded, "--",
+             "quickb_spark/", "bench/_scale_worker.py"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        out = ""
+    _ENGINE_COMMIT_CACHE[recorded] = out or recorded
+    return _ENGINE_COMMIT_CACHE[recorded]
+
+
 def _commit_era_md(rows, clean) -> str:
     """Per-engine-era medians: pairs grouped by the commit their trials
     recorded, in first-appearance order. The pooled headline never drops
@@ -340,8 +365,8 @@ def _commit_era_md(rows, clean) -> str:
     order: list[str] = []
     groups: dict[str, list[dict]] = {}
     for r in rows:
-        cl = r["lo"].get("commit") or "pre-tag"
-        ch = r["hi"].get("commit") or "pre-tag"
+        cl = _engine_commit(r["lo"].get("commit"))
+        ch = _engine_commit(r["hi"].get("commit"))
         key = cl if cl == ch else f"{cl}/{ch}"
         if key not in groups:
             order.append(key)
@@ -372,6 +397,39 @@ def _commit_era_md(rows, clean) -> str:
             f"| {warm_s} |"
         )
     return "\n".join(lines) + "\n"
+
+
+def _current_engine_q_md(rows, clean) -> str:
+    """One sentence after the pooled q-eff headline: the same median
+    restricted to clean pairs recorded at the NEWEST engine commit in the
+    pool. The pooled q-eff spans every serving engine the round shipped
+    (the era table below details them); this line is the number for the
+    engine as it exists now, clearly labeled — not a replacement for the
+    pooled figure."""
+    order: list[str] = []
+    for r in rows:
+        cl = _engine_commit(r["lo"].get("commit"))
+        ch = _engine_commit(r["hi"].get("commit"))
+        key = cl if cl == ch else f"{cl}/{ch}"
+        if key not in order:
+            order.append(key)
+    if len(order) <= 1:
+        return ""
+    cur = order[-1]
+    grp = [
+        r for r in clean
+        if _engine_commit(r["lo"].get("commit")) == cur.split("/")[0]
+        and _engine_commit(r["hi"].get("commit")) == cur.split("/")[-1]
+    ]
+    if len(grp) < 2:
+        return ""
+    return (
+        f"\nCurrent-engine query-batch efficiency (the {len(grp)} clean "
+        f"pairs recorded at the newest pooled commit {cur} — the serving "
+        f"engine as shipped; the pooled median above spans every engine "
+        f"era, detailed in the era table): median "
+        f"{_median([r['q_eff'] for r in grp]):.3f}.\n"
+    )
 
 
 def write_report(args, complete, companions=()) -> None:
@@ -634,7 +692,7 @@ full distribution {', '.join(f'{e:.3f}' for e in effs)}).
 **Query-batch scaling efficiency, median over the same
 {len(clean) if use_clean else len(rows)} pairs: {med_q_eff:.3f}**
 (1/4 = parity; the batch must at minimum not get
-slower with 4x workers; 95% CI {_fmt_ci(ci_q)}).{_q_decomp_md(hrows)}
+slower with 4x workers; 95% CI {_fmt_ci(ci_q)}).{_q_decomp_md(hrows)}{_current_engine_q_md(rows, clean)}
 {_commit_era_md(rows, clean)}
 Best absolute 4N build throughput: {best_thr['hi']['files_per_sec']}
 files/sec (pair {best_thr['pair']}).
