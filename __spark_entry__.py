@@ -6,8 +6,9 @@ operator from SURVEY.md §2; `oracle_sql()` gives each a DuckDB-equivalent
 ANSI-SQL string. Rows-only entries (no SQL oracle by nature — recursive /
 fixed-token / semantic (cluster-DP, Kamradt-threshold) chunking, simhash,
 LSH-ANN, compressed-segment WAND serving, segment-engine exact-phrase
-serving (t5_phrase_segments — its hash-matched declarative twin is
-t5_phrase_topk), resumability lineage, multimodal kernels, greedy
+and conjunctive serving (t5_phrase_segments / t6_conjunctive_segments —
+their hash-matched declarative twins are t5_phrase_topk /
+t6_bm25_conjunctive), resumability lineage, multimodal kernels, greedy
 near-dup, seeded split) are covered by the Python/reference-execution
 oracles in tests/.
 """

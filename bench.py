@@ -16,6 +16,7 @@ Headline queries:
   q_searcher_p50  single-query p50 latency on the warm Searcher
   q_phrase_batch  25-query exact-phrase batch (position-verified) on the
                   warm Searcher (direct serving path)
+  q_conj_batch    the same 25 queries as conjunctive (all-terms) retrieval
   q_bm25_batch    same batch through the declarative flat-postings plan
   q_bm25_chunked  full path incl. chunking at gate scale
   q_dedup_lsh     minhash signatures + banded LSH candidate pairs
@@ -152,6 +153,9 @@ def main() -> None:
     # through the v5 block_pos_off slices)
     with timed("q_phrase_batch"):
         searcher.topk(fixture_queries()[:25], k=10, phrase=True).count()
+
+    with timed("q_conj_batch"):
+        searcher.topk(fixture_queries()[:25], k=10, match_all=True).count()
 
     # declarative flat plan over the build's own checkpoint (no re-tokenize;
     # v4 checkpoint keys terms by int64 term_h — hashed_terms mirrors that

@@ -172,6 +172,49 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: conjunctive (all-terms-must-match) BM25 top-k — AND-mode
+    retrieval, the first refinement a code-search user reaches for when
+    OR-mode top-k is too broad. Scores are the unchanged BM25 sums; the
+    result set is restricted to docs containing EVERY distinct query term,
+    so a query with a corpus-absent term (q90) matches nothing.
+    Declarative form of Searcher.topk(match_all=True); same plan shape as
+    T1 plus one broadcast term-count filter (the postings relation is
+    never shuffled for the predicate)."""
+    flat, doc_stats, term_stats = _flat_index(spark, sf_dir)
+    n, avgdl = corpus_stats(doc_stats)
+    qdf = spark.createDataFrame(GATE_QUERIES, ["query_id", "query_text"])
+    qt = query_terms(qdf)
+    # n_terms counts ALL distinct query tokens (absent ones included):
+    # a doc can only reach it when every token exists in the corpus
+    need = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    matches = (
+        flat.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("have"))
+        .join(F.broadcast(need), "query_id")
+        .filter(F.col("have") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    qts = qt.join(term_stats, "term")
+    partial = (
+        flat.join(F.broadcast(qts), "term")
+        .join(doc_stats, "doc_id")
+        .select("query_id", "doc_id", bm25_score_col(n, avgdl).alias("partial"))
+    )
+    scored = (
+        partial.groupBy("query_id", "doc_id")
+        .agg(grid4(F.sum("partial")).alias("score"))
+        .join(matches, ["query_id", "doc_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 + A-class engine aggs: per-term document/collection frequency."""
     flat, _, _ = _flat_index(spark, sf_dir)
@@ -467,6 +510,42 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _conj_sql() -> str:
+    return f"""
+WITH tf AS ({_TF}),
+dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+ts AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, query_text) AS (VALUES {_QUERY_VALUES}),
+qt AS (SELECT DISTINCT query_id, term FROM (
+  SELECT query_id, unnest(regexp_extract_all(lower(query_text), \'{TOKEN_PATTERN}\')) AS term FROM q)),
+need AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id),
+matches AS (
+  SELECT qt.query_id, tf.doc_id
+  FROM qt JOIN tf USING (term) JOIN need USING (query_id)
+  GROUP BY qt.query_id, tf.doc_id, need.n_terms
+  HAVING count(*) = need.n_terms),
+partial AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1 + (stats.n - ts.df + 0.5) / (ts.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) AS s
+  FROM qt
+  JOIN ts USING (term)
+  JOIN tf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats),
+scored AS (
+  SELECT query_id, doc_id, floor(CAST(sum(s) AS DOUBLE) * 10000 + 0.5) / 10000 AS score
+  FROM partial GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS INTEGER) AS rank
+  FROM scored s JOIN matches USING (query_id, doc_id))
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def _knn_sql() -> str:
     ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
     return f"""
@@ -562,6 +641,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 ORACLE_SQL: dict[str, str] = {
     "t1_bm25_topk": _bm25_sql(),
     "t5_phrase_topk": _phrase_sql(),
+    "t6_bm25_conjunctive": _conj_sql(),
     "c7_term_stats": (
         f"SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf "
         f"FROM ({_TF}) GROUP BY term"
@@ -634,6 +714,7 @@ ORACLE_SQL: dict[str, str] = {
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t1_bm25_topk": q_bm25_topk,
     "t5_phrase_topk": q_phrase_topk,
+    "t6_bm25_conjunctive": q_conjunctive_topk,
     "c7_term_stats": q_term_stats,
     "a4_doc_stats": q_doc_stats,
     "u2_dedup_exact": q_dedup_exact,

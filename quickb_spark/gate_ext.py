@@ -233,6 +233,20 @@ def q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Searcher(spark, idx).topk(gate.PHRASE_QUERIES, k=10, phrase=True)
 
 
+def q_conjunctive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 full path: conjunctive (all-terms) top-k through the
+    compressed-segment engine (Searcher.topk(match_all=True): sorted-array
+    posting-list intersection, no position decode). Rows-only here —
+    segment doc_ids are chunk-level xxhash64 mints, which SQL can't
+    reproduce; the python oracle is tests/test_segments_wand.py::
+    test_conjunctive_topk_matches_bruteforce_oracle and the declarative
+    hash-matched twin is gate.t6_bm25_conjunctive."""
+    from quickb_spark.query.searcher import Searcher
+
+    idx = _gate_index(spark, sf_dir)
+    return Searcher(spark, idx).topk(gate.GATE_QUERIES, k=10, match_all=True)
+
+
 def q_segments_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumability lineage: per-partition segment metadata table."""
     from quickb_spark.index.segments import segments_meta
@@ -436,6 +450,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t3_embed_near_dup": q_embed_near_dup,
     "t1_wand_segments": q_wand_segments,
     "t5_phrase_segments": q_phrase_segments,
+    "t6_conjunctive_segments": q_conjunctive_segments,
     "s10_segments_meta": q_segments_meta,
     "mm_media_features": q_media_features,
     "mm_media_frames": q_media_frames,

@@ -244,6 +244,7 @@ class Searcher:
         strategy: str = "auto",
         ranges: int | str = "auto",
         phrase: bool = False,
+        match_all: bool = False,
     ) -> DataFrame:
         """(query_id, rank, doc_id, score); queries as (query_id, text)
         pairs (preferred for serving — driver-side tokenize, zero extra
@@ -254,7 +255,18 @@ class Searcher:
         as CONSECUTIVE tokens in a doc for it to be returned; scores are
         the unchanged BM25 sums, ranked identically. Requires an index
         built with store_positions and a pyarrow-reachable FS (the direct
-        serving path position-verifies candidates block by block)."""
+        serving path position-verifies candidates block by block).
+
+        match_all=True: conjunctive (AND-mode) retrieval — only docs
+        containing EVERY query term are returned; scores and ranking are
+        the unchanged BM25 sums (gate analog: t6_bm25_conjunctive).
+        Direct serving path only, like phrase; phrase already implies
+        all-terms containment, so combining the two is rejected."""
+        if phrase and match_all:
+            raise ValueError(
+                "phrase=True already requires every term (consecutively); "
+                "pass only one of phrase/match_all"
+            )
         if isinstance(queries, DataFrame):
             queries = [
                 (r["query_id"], r["query_text"]) for r in queries.collect()
@@ -301,6 +313,17 @@ class Searcher:
             if not phrase_seqs:
                 return empty
 
+        conj_seqs = None
+        if match_all:
+            # a query any of whose tokens is corpus-absent can't match
+            conj_seqs = {
+                qid: [th[t] for t in toks]
+                for qid, toks in toks_by_q.items()
+                if toks and all(dfs.get(t, 0) > 0 for t in toks)
+            }
+            if not conj_seqs:
+                return empty
+
         files = (
             None
             if os.environ.get("QKB_SERVE_CHANNEL") == "1"
@@ -312,12 +335,12 @@ class Searcher:
             return serve_topk_direct(
                 self.spark, files, qt_pairs_h, dfs_h, self.stats, k,
                 self.k1, self.b, strategy, r_count,
-                phrase_seqs=phrase_seqs,
+                phrase_seqs=phrase_seqs, conj_seqs=conj_seqs,
             )
-        if phrase:
+        if phrase or match_all:
             raise ValueError(
-                "phrase queries require the direct serving path (pyarrow-"
-                "reachable index FS, QKB_SERVE_CHANNEL unset)"
+                "phrase/match_all queries require the direct serving path "
+                "(pyarrow-reachable index FS, QKB_SERVE_CHANNEL unset)"
             )
         seg = self.seg.filter(F.col("bucket").isin(buckets)).filter(
             F.col("term_h").isin(list(th.values()))

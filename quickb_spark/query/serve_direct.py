@@ -54,6 +54,10 @@ Scale notes (the 100 TB story):
   the range's position slice (format v5 block_pos_off), and adjacency from
   sorted-set intersection on (candidate, position) composite keys — no
   per-document Python loop exists on the phrase path.
+- conjunctive (all-terms) mode reuses the same sorted-array candidate
+  intersection WITHOUT the position verify (`_conj_topk`) — AND-mode
+  retrieval at any-mode cost minus scoring of non-matching docs; works on
+  positionless indexes.
 - the channel path remains the automatic fallback (FS schemes pyarrow can't
   reach) and the A/B control (QKB_SERVE_CHANNEL=1).
 
@@ -404,6 +408,33 @@ def _phrase_topk(structs, seq, k, block_size):
     return docs_v[order].tolist(), score[order].tolist()
 
 
+def _conj_topk(structs, terms, k):
+    """Conjunctive (all-terms) top-k within one range: docs containing
+    EVERY query term, scored with the same BM25 sum as any-mode queries,
+    ranked (score desc, doc asc). The candidate set is the sorted-array
+    intersection of the terms' doc lists (smallest-first, like
+    _phrase_topk but with no position verify); ranges partition the doc
+    space, so per-range lists merge exactly."""
+    uniq = list(dict.fromkeys(terms))
+    if not uniq or any(t not in structs for t in uniq):
+        return [], []
+    base = min(uniq, key=lambda t: len(structs[t]["docs"]))
+    cand = structs[base]["docs"]
+    for t in uniq:
+        d = structs[t]["docs"]
+        if not len(d):
+            return [], []
+        pos = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+        cand = cand[d[pos] == cand]
+        if not len(cand):
+            return [], []
+    score = np.zeros(len(cand))
+    for t in uniq:  # insertion order == channel concat order (fp-identical)
+        score += structs[t]["scores"][np.searchsorted(structs[t]["docs"], cand)]
+    order = np.lexsort((cand, -score))[:k]
+    return cand[order].tolist(), score[order].tolist()
+
+
 def _serve_range_task(payload):
     """One range's serving work: read candidate rows, slice via zero-copy
     views, build structs with the SHARED kernels, score the batch (or
@@ -419,7 +450,7 @@ def _serve_range_task(payload):
     )
 
     (range_id, lo, hi, files, th_list, dfs, n_docs, avgdl, block_size,
-     terms_by_query, k, strategy, k1, b, phrase_seqs) = payload
+     terms_by_query, k, strategy, k1, b, phrase_seqs, conj_seqs) = payload
     pa.set_cpu_count(1)  # one core slot per task (see p1_direct._p1_task)
     want_pos = phrase_seqs is not None
     cols = _BASE_COLS + (_POS_COLS if want_pos else [])
@@ -473,6 +504,14 @@ def _serve_range_task(payload):
                 (qid, int(d), float(s)) for d, s in zip(doc_ids, scores)
             )
         return out
+    if conj_seqs is not None:
+        out = []
+        for qid in sorted(conj_seqs):
+            doc_ids, scores = _conj_topk(structs, conj_seqs[qid], k)
+            out.extend(
+                (qid, int(d), float(s)) for d, s in zip(doc_ids, scores)
+            )
+        return out
     out_q, out_d, out_s, _ = _score_query_set(
         structs, terms_by_query, k, strategy, k1, b, avgdl, emit_rank=False
     )
@@ -491,13 +530,16 @@ def serve_topk_direct(
     strategy: str,
     r_count: int,
     phrase_seqs: dict[str, list[int]] | None = None,
+    conj_seqs: dict[str, list[int]] | None = None,
 ):
     """(query_id, rank, doc_id, score) DataFrame via direct range tasks.
 
     `files`: candidate segment files (bucket-pruned, from the Searcher's
     cached listing). `phrase_seqs`: qid -> ordered term_h sequence turns
     the batch into exact-phrase retrieval (same BM25 scores, result set
-    restricted to docs containing the phrase)."""
+    restricted to docs containing the phrase). `conj_seqs`: qid -> term_h
+    list turns it into conjunctive (all-terms) retrieval — same scores,
+    result set restricted to docs containing every term."""
     from quickb_spark.query.wand import _range_bounds
 
     terms_by_query: dict[str, list[int]] = {}
@@ -507,7 +549,7 @@ def serve_topk_direct(
     payloads = [
         (r, lo, hi, files, sorted(dfs_h), dfs_h, stats["n_docs"],
          stats["avgdl"], block_size, terms_by_query, k, strategy, k1, b,
-         phrase_seqs)
+         phrase_seqs, conj_seqs)
         for r, lo, hi in _range_bounds(r_count)
     ]
     sc = spark.sparkContext

@@ -93,3 +93,25 @@ class OracleIndex:
             key=lambda t: (-t[1], t[0]),
         )
         return [(r + 1, d, s) for r, (d, s) in enumerate(scored[:k])]
+
+    def conj_docs(self, query: str) -> set[int]:
+        """Docs containing EVERY distinct query token (the conjunctive /
+        AND-mode predicate); empty when any token is corpus-absent."""
+        terms = set(tokenize_py(query))
+        if not terms or any(t not in self.postings for t in terms):
+            return set()
+        cand: set[int] | None = None
+        for t in terms:
+            ds = set(self.postings[t])
+            cand = ds if cand is None else cand & ds
+        return cand or set()
+
+    def conj_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
+        """Conjunctive top-k: BM25 scores unchanged, result set restricted
+        to all-terms-matching docs, same (score desc, doc_id asc) ranking."""
+        match = self.conj_docs(query)
+        scored = sorted(
+            ((d, s) for d, s in self.score(query).items() if d in match),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return [(r + 1, d, s) for r, (d, s) in enumerate(scored[:k])]

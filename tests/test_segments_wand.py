@@ -423,3 +423,106 @@ def test_phrase_subset_of_unphrased_results(spark, built, chunks):
         key = (r["query_id"], r["doc_id"])
         assert key in plain_scores
         assert abs(plain_scores[key] - r["score"]) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# conjunctive (match_all) serving — t6 analog on the segment engine
+# --------------------------------------------------------------------------
+
+def _conj_queries(chunks):
+    """Deterministic conjunctive set from REAL chunk text (positives must
+    match at least their source chunk) plus negative/edge controls."""
+    from quickb_spark.functions.tokenize import tokenize_py
+
+    rows = chunks.select("text").limit(40).collect()
+    queries, qi = [], 0
+    for r in rows:
+        toks = tokenize_py(r["text"])
+        if len(toks) >= 6 and qi < 8:
+            # scrambled orders: conjunctive semantics are order-free
+            queries.append((f"c{qi:02d}", " ".join(toks[4:0:-1])))
+            qi += 1
+    assert len(queries) >= 6
+    queries.append(("cneg_absent", "def zzqqxxnotaterm"))
+    queries.append(("c_single", tokenize_py(rows[0]["text"])[0]))
+    return queries
+
+
+def test_conjunctive_topk_matches_bruteforce_oracle(spark, built, oracle, chunks):
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _conj_queries(chunks)
+    s = Searcher(spark, built)
+    got: dict[str, list] = {qid: [] for qid, _ in queries}
+    for r in s.topk(queries, k=10, match_all=True).collect():
+        got[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+    nonempty = 0
+    for qid, qtext in queries:
+        want = oracle.conj_topk(qtext, 10)
+        have = sorted(got[qid])
+        assert [(r, d) for r, d, _ in have] == [(r, d) for r, d, _ in want], qid
+        for (_, _, a), (_, _, b) in zip(have, want):
+            assert abs(a - b) < 1e-6, qid
+        nonempty += bool(want)
+    assert nonempty >= len(queries) - 1
+    assert not got["cneg_absent"]
+
+
+def test_conjunctive_results_identical_for_all_range_counts(spark, built, chunks):
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _conj_queries(chunks)[:6]
+    s = Searcher(spark, built)
+    want = sorted(
+        map(tuple, s.topk(queries, k=10, match_all=True, ranges=1).collect())
+    )
+    for r_count in (2, 5, 16):
+        got = sorted(
+            map(tuple,
+                s.topk(queries, k=10, match_all=True, ranges=r_count).collect())
+        )
+        assert got == want, r_count
+
+
+def test_conjunctive_subset_of_any_mode_results(spark, built, chunks):
+    """Every conjunctive hit is also an any-mode candidate with the SAME
+    score (match_all only restricts the result set, never changes scoring);
+    a single-term query is identical in both modes; phrase hits are a
+    subset of conjunctive hits (adjacency implies containment)."""
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _conj_queries(chunks)[:6] + [("c_single2", "def")]
+    s = Searcher(spark, built)
+    conj = s.topk(queries, k=1000, match_all=True).collect()
+    plain = s.topk(queries, k=1000).collect()
+    plain_scores = {(r["query_id"], r["doc_id"]): r["score"] for r in plain}
+    assert conj
+    for r in conj:
+        key = (r["query_id"], r["doc_id"])
+        assert key in plain_scores
+        assert abs(plain_scores[key] - r["score"]) < 1e-12
+    one_conj = sorted(
+        (r["doc_id"], r["score"]) for r in conj if r["query_id"] == "c_single2"
+    )
+    one_plain = sorted(
+        (r["doc_id"], r["score"]) for r in plain if r["query_id"] == "c_single2"
+    )
+    assert one_conj == one_plain
+    # phrase ⊆ conjunctive on a shared multi-term query
+    multi = [q for q in queries if len(q[1].split()) >= 2][:3]
+    phr = {(r["query_id"], r["doc_id"])
+           for r in s.topk(multi, k=1000, phrase=True).collect()}
+    cj = {(r["query_id"], r["doc_id"])
+          for r in s.topk(multi, k=1000, match_all=True).collect()}
+    assert phr <= cj
+
+
+def test_conjunctive_mode_guards(spark, built, monkeypatch):
+    from quickb_spark.query.searcher import Searcher
+
+    s = Searcher(spark, built)
+    with pytest.raises(ValueError, match="only one of"):
+        s.topk([("q1", "def import")], phrase=True, match_all=True)
+    monkeypatch.setenv("QKB_SERVE_CHANNEL", "1")
+    with pytest.raises(ValueError, match="direct serving path"):
+        s.topk([("q1", "def import")], match_all=True)
