@@ -457,13 +457,13 @@ def _commit_era_md(rows, clean) -> str:
     return "\n".join(lines) + "\n"
 
 
-def _current_engine_q_md(rows, clean) -> str:
-    """One sentence after the pooled q-eff headline: the same median
-    restricted to clean pairs recorded at the NEWEST engine commit in the
-    pool. The pooled q-eff spans every serving engine the round shipped
-    (the era table below details them); this line is the number for the
-    engine as it exists now, clearly labeled — not a replacement for the
-    pooled figure."""
+def _current_engine_pairs(rows, clean):
+    """-> (newest engine-era key, its clean pairs). The pool never drops
+    recorded pairs, but the serving engine was REPLACED mid-round (channel
+    -> direct + caches + driver term dictionary), so the pooled q-eff
+    averages two different products; the headline leads with the engine
+    as shipped and prints the pooled figure beside it, with the era table
+    detailing every predecessor."""
     order: list[str] = []
     for r in rows:
         cl = _engine_commit(r["lo"].get("commit"))
@@ -471,22 +471,49 @@ def _current_engine_q_md(rows, clean) -> str:
         key = cl if cl == ch else f"{cl}/{ch}"
         if key not in order:
             order.append(key)
-    if len(order) <= 1:
-        return ""
+    if not order:
+        return None, []
     cur = order[-1]
     grp = [
         r for r in clean
         if _engine_commit(r["lo"].get("commit")) == cur.split("/")[0]
         and _engine_commit(r["hi"].get("commit")) == cur.split("/")[-1]
     ]
-    if len(grp) < 2:
-        return ""
+    return cur, grp
+
+
+def _q_headline_md(rows, clean, hrows, med_q_eff, ci_q, use_clean) -> str:
+    """Query-batch headline: leads with the CURRENT serving engine's clean
+    pairs when the pool spans engine eras (the serving path was replaced
+    mid-round: Arrow-channel -> direct pyarrow range tasks + worker caches
+    + driver-side term dictionary — two different products whose pooled
+    median describes neither); the pooled all-era figure is printed
+    beside it, never dropped."""
+    def _fmt_ci(ci):
+        return f"[{ci[0]:.3f}, {ci[1]:.3f}]" if ci else "n/a (<4 pairs)"
+
+    n_pool = len(clean) if use_clean else len(rows)
+    pooled = (
+        f"(1/4 = parity; the batch must at minimum not get slower with 4x "
+        f"workers; 95% CI {_fmt_ci(ci_q)})"
+    )
+    cur, grp = _current_engine_pairs(rows, clean)
+    if len(grp) < 2 or len(grp) == n_pool:
+        return (
+            f"**Query-batch scaling efficiency, median over the same "
+            f"{n_pool} pairs: {med_q_eff:.3f}**\n{pooled}."
+        )
+    cur_effs = [r["q_eff"] for r in grp]
+    ci_cur = _bootstrap_median_ci(cur_effs)
     return (
-        f"\nCurrent-engine query-batch efficiency (the {len(grp)} clean "
-        f"pairs recorded at the newest pooled commit {cur} — the serving "
-        f"engine as shipped; the pooled median above spans every engine "
-        f"era, detailed in the era table): median "
-        f"{_median([r['q_eff'] for r in grp]):.3f}.\n"
+        f"**Query-batch scaling efficiency (CURRENT serving engine — the "
+        f"{len(grp)} clean pairs at engine commit {cur}: direct range "
+        f"tasks + worker decoded-table caches + driver-side term "
+        f"dictionary): median {_median(cur_effs):.3f}** (95% CI "
+        f"{_fmt_ci(ci_cur)}; 1/4 = parity). Pooled over every engine era "
+        f"this round — including the retired Arrow-channel/cold-cache "
+        f"serving paths the era table below details — median over the "
+        f"same {n_pool} clean pairs: {med_q_eff:.3f} {pooled}."
     )
 
 
@@ -747,10 +774,7 @@ all-pairs median is printed beside it.
 {"clean" if use_clean else "all-pairs"}-median {_fmt_ci(ci_eff)}
 (percentile bootstrap over pairs, seed 42);
 full distribution {', '.join(f'{e:.3f}' for e in effs)}).
-**Query-batch scaling efficiency, median over the same
-{len(clean) if use_clean else len(rows)} pairs: {med_q_eff:.3f}**
-(1/4 = parity; the batch must at minimum not get
-slower with 4x workers; 95% CI {_fmt_ci(ci_q)}).{_q_decomp_md(hrows)}{_current_engine_q_md(rows, clean)}
+{_q_headline_md(rows, clean, hrows, med_q_eff, ci_q, use_clean)}{_q_decomp_md(hrows)}
 {_commit_era_md(rows, clean)}
 Best absolute 4N build throughput: {best_thr['hi']['files_per_sec']}
 files/sec (pair {best_thr['pair']}).
