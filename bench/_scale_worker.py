@@ -24,6 +24,18 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _mem_avail_gb() -> float:
+    """MemAvailable from /proc/meminfo, in GiB (0.0 if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return round(int(line.split()[1]) / (1 << 20), 1)
+    except OSError:
+        pass
+    return 0.0
+
+
 def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -244,6 +256,18 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     build_sec = time.perf_counter() - t0
     build_loadinfo = build_load.stop()
 
+    # Query-window regime probes (round-4 addition): the build-window gates
+    # cannot see load landing DURING the serving windows — measured
+    # 2026-08-19: two pools accidentally overlapping a trial's query block
+    # produced warm batches 3x slower than their cold batch at BOTH levels
+    # while the build windows read ext_cores 0.0. So the query block gets
+    # its own single-core calibration kernel and its own LoadMeter, and the
+    # report additionally gates q-eff on them where the fields exist.
+    cal_sec_query, _ = calibrate(2)
+    mem_avail_gb = _mem_avail_gb()
+    query_load = LoadMeter()
+    query_load.start()
+
     # Serving: a Searcher bound to the index, as a server process would run
     # it. The timed 50-query batch starts with a COLD df cache; p50 is
     # per-query latency on the warm searcher.
@@ -278,6 +302,7 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         lat.append(time.perf_counter() - t0)
     lat.sort()
     p50 = lat[len(lat) // 2]
+    query_loadinfo = query_load.stop()
 
     print(
         json.dumps(
@@ -303,6 +328,18 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
                 # aggregate kernels/sec over `cpus` concurrent processes
                 # in the same pre-build window
                 "cal_thr_cores": round(cal_thr, 3),
+                # external/own busy cores averaged over the QUERY windows
+                # (cold batch + warm repeat + p50 loop) and the same
+                # single-core kernel timed right before them: the query
+                # block's own clean gate inputs (see comment above)
+                "ext_cores_query": query_loadinfo["ext_cores"],
+                "own_cores_query": query_loadinfo["own_cores"],
+                "cal_sec_query": cal_sec_query,
+                # MemAvailable just before the query block: 4N runs ~105GB
+                # resident (4 pre-touched 14GB heaps + 8 workers' caches),
+                # so a bloated page cache / leaked tmpfs pushes the query
+                # windows into kswapd — make that visible in the raw JSON
+                "mem_avail_gb": mem_avail_gb,
                 "phases": phases,
             }
         )

@@ -177,6 +177,12 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    if args.pairs <= 0:
+        # report-only regeneration: no trials run, so no corpus (which is
+        # a full Spark job) and no work dir are needed
+        report_from_pool(args)
+        return
+
     # tmpfs work dir: local-mode proxy for per-executor local SSDs — keeps
     # shuffle/index I/O from contending with the corpus on one shared disk
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -319,6 +325,24 @@ def _pair_rows(complete, n) -> list[dict]:
                     if lo.get("cal_sec") and hi.get("cal_sec")
                     else None
                 ),
+                # query-window gates (fields added round 4 after two pools
+                # overlapping a trial's QUERY block — invisible to the
+                # build-window gates — produced warm batches 3x slower
+                # than cold): external cores and single-core drift
+                # measured over/before the serving windows themselves
+                "q_ext": (
+                    max(
+                        lo["ext_cores_query"], hi["ext_cores_query"]
+                    )
+                    if lo.get("ext_cores_query") is not None
+                    and hi.get("ext_cores_query") is not None
+                    else None
+                ),
+                "q_drift": (
+                    hi["cal_sec_query"] / lo["cal_sec_query"]
+                    if lo.get("cal_sec_query") and hi.get("cal_sec_query")
+                    else None
+                ),
                 # warm-repeat decomposition (fields added round 4): the
                 # warm batch is the pure scoring job; cold - warm is the
                 # per-batch fixed cost (df lookup + listing)
@@ -332,6 +356,23 @@ def _pair_rows(complete, n) -> list[dict]:
             }
         )
     return rows
+
+
+def _qgate_ok(r, ext_gate, drift_lo, drift_hi) -> bool:
+    """Query-window gate alone (build gates not included): pre-probe
+    pairs pass, like every other gate."""
+    return (r["q_ext"] is None or r["q_ext"] <= ext_gate) and (
+        r["q_drift"] is None or drift_lo <= r["q_drift"] <= drift_hi
+    )
+
+
+def _qwin_cell(r, is_qclean: bool) -> str:
+    """Per-pair table cell for the query-window probes: 'ext/drift ✓'."""
+    if r["q_ext"] is None and r["q_drift"] is None:
+        return "n/a"
+    ext = "n/a" if r["q_ext"] is None else f"{r['q_ext']:.2f}"
+    drift = "n/a" if r["q_drift"] is None else f"{r['q_drift']:.2f}"
+    return f"{ext}/{drift} {'✓' if is_qclean else '✗'}"
 
 
 def _median(xs):
@@ -482,13 +523,17 @@ def _current_engine_pairs(rows, clean):
     return cur, grp
 
 
-def _q_headline_md(rows, clean, hrows, med_q_eff, ci_q, use_clean) -> str:
+def _q_headline_md(rows, clean, qclean, hrows, med_q_eff, ci_q,
+                   use_clean) -> str:
     """Query-batch headline: leads with the CURRENT serving engine's clean
     pairs when the pool spans engine eras (the serving path was replaced
     mid-round: Arrow-channel -> direct pyarrow range tasks + worker caches
     + driver-side term dictionary — two different products whose pooled
     median describes neither); the pooled all-era figure is printed
-    beside it, never dropped."""
+    beside it, never dropped. The current-engine figure uses qclean —
+    pairs whose QUERY windows also pass the load/drift gates where those
+    fields exist (serving windows are minutes after the gated build
+    windows; pre-probe pairs pass, like every other gate here)."""
     def _fmt_ci(ci):
         return f"[{ci[0]:.3f}, {ci[1]:.3f}]" if ci else "n/a (<4 pairs)"
 
@@ -497,7 +542,7 @@ def _q_headline_md(rows, clean, hrows, med_q_eff, ci_q, use_clean) -> str:
         f"(1/4 = parity; the batch must at minimum not get slower with 4x "
         f"workers; 95% CI {_fmt_ci(ci_q)})"
     )
-    cur, grp = _current_engine_pairs(rows, clean)
+    cur, grp = _current_engine_pairs(rows, qclean)
     if len(grp) < 2 or len(grp) == n_pool:
         return (
             f"**Query-batch scaling efficiency, median over the same "
@@ -505,12 +550,17 @@ def _q_headline_md(rows, clean, hrows, med_q_eff, ci_q, use_clean) -> str:
         )
     cur_effs = [r["q_eff"] for r in grp]
     ci_cur = _bootstrap_median_ci(cur_effs)
+    n_qgated = sum(1 for r in grp if r["q_ext"] is not None)
     return (
         f"**Query-batch scaling efficiency (CURRENT serving engine — the "
         f"{len(grp)} clean pairs at engine commit {cur}: direct range "
         f"tasks + worker decoded-table caches + driver-side term "
         f"dictionary): median {_median(cur_effs):.3f}** (95% CI "
-        f"{_fmt_ci(ci_cur)}; 1/4 = parity). Pooled over every engine era "
+        f"{_fmt_ci(ci_cur)}; 1/4 = parity; {n_qgated} of {len(grp)} pairs "
+        f"carry the round-4 query-window load/drift probes and pass their "
+        f"gate — ext<=3.0 cores over the serving windows, single-core "
+        f"drift in [0.8, 1.25] measured right before them). Pooled over "
+        f"every engine era "
         f"this round — including the retired Arrow-channel/cold-cache "
         f"serving paths the era table below details — median over the "
         f"same {n_pool} clean pairs: {med_q_eff:.3f} {pooled}."
@@ -570,6 +620,16 @@ def write_report(args, complete, companions=()) -> None:
             or DRIFT_LO <= r["cal_drift"] <= DRIFT_HI
         )
     ]
+    # QUERY-WINDOW GATE (round-4 addition): the serving windows run
+    # minutes after the build windows the three gates above meter, and a
+    # burst landing only there corrupts q-eff while the pair stays clean
+    # for the BUILD headline (measured 2026-08-19: two pools overlapping
+    # one trial's query block — warm batch 3x slower than cold at both
+    # levels, build windows ext 0.0). Same thresholds, same pre-probe
+    # convention: pairs lacking the fields pass.
+    qclean = [
+        r for r in clean if _qgate_ok(r, EXT_GATE, DRIFT_LO, DRIFT_HI)
+    ]
     effs = sorted(r["eff"] for r in rows)
     med_all = _median(effs)
     med_clean = _median([r["eff"] for r in clean]) if clean else None
@@ -608,7 +668,8 @@ def write_report(args, complete, companions=()) -> None:
         f"| {'n/a' if r['hw_ceil'] is None else format(r['hw_ceil'], '.3f')} "
         f"| {'n/a' if r['cal_drift'] is None else format(r['cal_drift'], '.2f')} "
         f"| {'n/a' if r['ext'] is None else r['ext']}"
-        f"{' ✓' if r in clean else ' ✗'} |"
+        f"{' ✓' if r in clean else ' ✗'} "
+        f"| {_qwin_cell(r, _qgate_ok(r, EXT_GATE, DRIFT_LO, DRIFT_HI))} |"
         for r in rows
     )
     raw = "\n".join(
@@ -774,7 +835,7 @@ all-pairs median is printed beside it.
 {"clean" if use_clean else "all-pairs"}-median {_fmt_ci(ci_eff)}
 (percentile bootstrap over pairs, seed 42);
 full distribution {', '.join(f'{e:.3f}' for e in effs)}).
-{_q_headline_md(rows, clean, hrows, med_q_eff, ci_q, use_clean)}{_q_decomp_md(hrows)}
+{_q_headline_md(rows, clean, qclean, hrows, med_q_eff, ci_q, use_clean)}{_q_decomp_md(hrows)}
 {_commit_era_md(rows, clean)}
 Best absolute 4N build throughput: {best_thr['hi']['files_per_sec']}
 files/sec (pair {best_thr['pair']}).
@@ -789,10 +850,15 @@ the pair's two windows (1.0 = same regime; quiet spread is +-3%);
 ext = max external busy cores over the pair's two build windows,
 ✓ = clean under the full gate: ext <= 3.0 AND hw ceil >= 0.5 AND
 drift in [0.8, 1.25] — the drift gate is symmetric and has already
-discarded a pair whose slow N window INFLATED its eff to 0.852):
+discarded a pair whose slow N window INFLATED its eff to 0.852;
+q win = the same ext and drift probes measured over/right before the
+pair's QUERY windows (round-4 fields; n/a = pair predates them), with
+their own ✓/✗ under the same thresholds — the serving windows run
+minutes after the gated build windows, so a burst landing only there
+corrupts q-eff while the build eff stays clean):
 
-| pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | hw ceil | drift | ext |
-|---|---|---|---|---|---|---|---|---|---|---|---|---|
+| pair | build @N s | build @4N s | files/s @N | files/s @4N | eff | 50-q batch @N s | @4N s | q-eff | p50 @N/@4N s | hw ceil | drift | ext | q win |
+|---|---|---|---|---|---|---|---|---|---|---|---|---|---|
 {pair_rows}
 
 Methodology (documented deviations and controls):
@@ -832,7 +898,14 @@ Methodology (documented deviations and controls):
   (term_h, df) term dictionary into driver arrays, so the timed batch
   runs exactly one Spark job (the scoring job; earlier trials in the
   pool paid a per-batch lexicon-scan Spark job whose placement-dependent
-  cost — 1.5-17s at 4N — was the measured cold-vs-warm gap).
+  cost — 1.5-17s at 4N — was the measured cold-vs-warm gap). The query
+  windows also record their own external-load meter and single-core
+  calibration (ext_cores_query / cal_sec_query) plus MemAvailable —
+  they run minutes after the gated build windows, and a burst landing
+  only there corrupts q-eff invisibly to the build gates (measured
+  2026-08-19: two pools accidentally overlapping one trial's query
+  block made warm batches 3x slower than cold at both levels while the
+  build windows read ext 0.0).
 - Hardware ceiling controls (plain multiprocessing, no Spark, same box):
   the chunk+tokenize kernel scales 0.78-1.01 from 4 -> 16 procs across
   recorded windows (cache-local Python object work), while the columnar
