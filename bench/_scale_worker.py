@@ -36,6 +36,37 @@ def _mem_avail_gb() -> float:
     return 0.0
 
 
+#: /proc/vmstat counters that separate "quiet window" from "memory-reclaim
+#: storm": pgscan/pgsteal_direct spike when ALLOCATING processes do their
+#: own reclaim (the stall that slows every core at once), kswapd variants
+#: when the background reclaimer runs, pgmajfault when working sets get
+#: evicted and faulted back, allocstall* when allocations block outright.
+_VMSTAT_KEYS = (
+    "pgscan_direct", "pgsteal_direct", "pgscan_kswapd", "pgsteal_kswapd",
+    "pgmajfault", "compact_stall",
+)
+
+
+def _vmstat() -> dict:
+    """Snapshot of the reclaim counters (allocstall* summed); {} if unreadable."""
+    out: dict = {}
+    try:
+        with open("/proc/vmstat") as f:
+            for line in f:
+                k, _, v = line.partition(" ")
+                if k in _VMSTAT_KEYS:
+                    out[k] = int(v)
+                elif k.startswith("allocstall"):
+                    out["allocstall"] = out.get("allocstall", 0) + int(v)
+    except OSError:
+        pass
+    return out
+
+
+def _vmstat_delta(before: dict, after: dict) -> dict:
+    return {k: after[k] - before[k] for k in after if k in before}
+
+
 def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -247,6 +278,7 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     phases: dict = {}
     build_load = LoadMeter()
     build_load.start()
+    vm_build0 = _vmstat()
     t0 = time.perf_counter()
     build_index(
         spark, index_dir=idx, cfg=cfg, wave_size=64, documents=docs,
@@ -254,6 +286,7 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
         timings=phases,
     )
     build_sec = time.perf_counter() - t0
+    vm_build = _vmstat_delta(vm_build0, _vmstat())
     build_loadinfo = build_load.stop()
 
     # Query-window regime probes (round-4 addition): the build-window gates
@@ -282,10 +315,15 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     # 50-query batch on this index (BENCH/query_decompose_r4.json r4d) —
     # with the session.py worker env it makes the first batch allocate
     # from already-faulted pages, like the JVM's AlwaysPreTouch
+    vm_pre0 = _vmstat()
     searcher.preload(pretouch_mb=3072)
+    vm_cold0 = _vmstat()
+    mem_avail_cold_gb = _mem_avail_gb()
     t0 = time.perf_counter()
     n_results = searcher.topk(fixture_queries(), k=10).count()
     query_batch_sec = time.perf_counter() - t0
+    vm_cold = _vmstat_delta(vm_cold0, _vmstat())
+    vm_preload = _vmstat_delta(vm_pre0, vm_cold0)
 
     # decomposition fields (outside the protocol's timed windows): a WARM
     # repeat of the same batch isolates the per-batch fixed cost — the
@@ -340,6 +378,19 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
                 # so a bloated page cache / leaked tmpfs pushes the query
                 # windows into kswapd — make that visible in the raw JSON
                 "mem_avail_gb": mem_avail_gb,
+                # MemAvailable right after preload/pretouch, i.e. what the
+                # timed cold batch actually has to work with — if this is
+                # near zero while mem_avail_gb was ~44, the preload itself
+                # is what pushes the cold batch into direct reclaim
+                "mem_avail_cold_gb": mem_avail_cold_gb,
+                # /proc/vmstat reclaim-counter deltas over each window
+                # (round-4 instrumentation for the intermittent 3-5x cold
+                # 4N batches that pass every load/drift gate): nonzero
+                # pgscan_direct/allocstall during the cold batch = the
+                # slowdown is the box reclaiming memory, not the engine
+                "vmstat_build": vm_build,
+                "vmstat_preload": vm_preload,
+                "vmstat_cold": vm_cold,
                 "phases": phases,
             }
         )
