@@ -67,6 +67,48 @@ def _vmstat_delta(before: dict, after: dict) -> dict:
     return {k: after[k] - before[k] for k in after if k in before}
 
 
+def _warm_batch_rusage(spark, searcher) -> dict:
+    """One warm batch with per-task getrusage wrapped around the same
+    range tasks Searcher.topk runs (driver planning replicated via
+    bench/serve_probe._plan). CPU accounting per level: utime is the
+    engine's actual work, wall - utime/slots the scheduling + contention
+    residual — host steal inflates wall, never utime."""
+    from serve_probe import _plan
+
+    from quickb_spark.corpus import fixture_queries
+
+    payloads, _ = _plan(searcher, fixture_queries())
+
+    def _run(payload):
+        import resource as _r
+        import time as _t
+
+        from quickb_spark.query import serve_direct as sd
+
+        r0 = _r.getrusage(_r.RUSAGE_SELF)
+        t0 = _t.perf_counter()
+        sd._serve_range_task(payload)
+        wall = _t.perf_counter() - t0
+        r1 = _r.getrusage(_r.RUSAGE_SELF)
+        return (wall, r1.ru_utime - r0.ru_utime, r1.ru_stime - r0.ru_stime,
+                r1.ru_minflt - r0.ru_minflt)
+
+    t0 = time.perf_counter()
+    stats = (
+        spark.sparkContext.parallelize(payloads, len(payloads))
+        .map(_run).collect()
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "wall_sec": round(wall, 2),
+        "n_ranges": len(payloads),
+        "task_utime_sum": round(sum(s[1] for s in stats), 2),
+        "task_stime_sum": round(sum(s[2] for s in stats), 2),
+        "task_wall_max": round(max(s[0] for s in stats), 2),
+        "task_minflt_sum": int(sum(s[3] for s in stats)),
+    }
+
+
 def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -325,13 +367,29 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     vm_cold = _vmstat_delta(vm_cold0, _vmstat())
     vm_preload = _vmstat_delta(vm_pre0, vm_cold0)
 
-    # decomposition fields (outside the protocol's timed windows): a WARM
-    # repeat of the same batch isolates the per-batch fixed cost — the
-    # cold-warm difference is the df-lookup + listing work a fresh server
-    # pays once, the warm number is the pure scoring job
-    t0 = time.perf_counter()
-    searcher.topk(fixture_queries(), k=10).count()
-    query_warm_batch_sec = time.perf_counter() - t0
+    # steady-state serving: THREE warm repeats of the same batch, each
+    # timed. The cold-warm difference is the df-lookup + listing work a
+    # fresh server pays once; the warm batches are the pure scoring job.
+    # Three repeats because this guest cannot observe host-side vCPU
+    # steal mid-window (measured 2026-08-19: 4N cold batches of 48-84s
+    # with warm 15s right after, zero /proc/vmstat reclaim, ext_cores
+    # 0.0, normal pre-window cal_sec — and bench/serve_probe4.py
+    # reproduced neither arm on a quiet box, cold 14.2s). Steal is
+    # strictly ADDITIVE noise, so the MIN over repeats estimates the
+    # engine's time; every repeat is recorded raw.
+    query_warm_batch_secs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        searcher.topk(fixture_queries(), k=10).count()
+        query_warm_batch_secs.append(round(time.perf_counter() - t0, 2))
+    query_warm_batch_sec = min(query_warm_batch_secs)
+
+    # per-task CPU accounting (diagnostic, untimed for the headline): one
+    # more warm batch through the same planning + range tasks, each task
+    # wrapped with getrusage. Sum(utime) should match between levels —
+    # same work, different wall — so a blown batch with normal utime is
+    # PROVEN external (host steal), one with inflated utime is ours.
+    q_acct = _warm_batch_rusage(spark, searcher)
 
     lat = []
     for qid, qtext in fixture_queries()[:12]:
@@ -341,6 +399,9 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     lat.sort()
     p50 = lat[len(lat) // 2]
     query_loadinfo = query_load.stop()
+    # post-window single-core kernel: brackets the serving block so a
+    # regime shift DURING it (pre-cal normal, post-cal slow) is visible
+    cal_sec_query_post, _ = calibrate(2)
 
     print(
         json.dumps(
@@ -352,7 +413,16 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
                 "build_sec": round(build_sec, 2),
                 "files_per_sec": round(n_files / build_sec, 1),
                 "query_batch_sec": round(query_batch_sec, 2),
+                # min over the 3 warm repeats (steady-state scoring job;
+                # min because host steal is additive and in-guest
+                # unobservable — all repeats recorded raw below)
                 "query_warm_batch_sec": round(query_warm_batch_sec, 2),
+                "query_warm_batch_secs": query_warm_batch_secs,
+                # per-task CPU accounting from the rusage-wrapped warm
+                # batch: task_utime_sum is the engine's actual work and
+                # should match across levels; wall >> utime/slots with
+                # normal utime = external steal, inflated utime = ours
+                "q_acct": q_acct,
                 "n_results": n_results,
                 "query_p50_sec": round(p50, 3),
                 # external (non-own) vs own busy cores box-wide, averaged
@@ -373,6 +443,9 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
                 "ext_cores_query": query_loadinfo["ext_cores"],
                 "own_cores_query": query_loadinfo["own_cores"],
                 "cal_sec_query": cal_sec_query,
+                # same kernel right AFTER the serving block: pre/post
+                # bracketing exposes a regime shift that lands mid-block
+                "cal_sec_query_post": cal_sec_query_post,
                 # MemAvailable just before the query block: 4N runs ~105GB
                 # resident (4 pre-touched 14GB heaps + 8 workers' caches),
                 # so a bloated page cache / leaked tmpfs pushes the query

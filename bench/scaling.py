@@ -343,6 +343,15 @@ def _pair_rows(complete, n) -> list[dict]:
                     if lo.get("cal_sec_query") and hi.get("cal_sec_query")
                     else None
                 ),
+                # post-block kernel bracket (round-4 fields): the same
+                # single-core kernel run right AFTER each serving block —
+                # pre normal + post slow = a regime shift landed mid-block
+                "q_drift_post": (
+                    hi["cal_sec_query_post"] / lo["cal_sec_query_post"]
+                    if lo.get("cal_sec_query_post")
+                    and hi.get("cal_sec_query_post")
+                    else None
+                ),
                 # warm-repeat decomposition (fields added round 4): the
                 # warm batch is the pure scoring job; cold - warm is the
                 # per-batch fixed cost (df lookup + listing)
@@ -360,9 +369,15 @@ def _pair_rows(complete, n) -> list[dict]:
 
 def _qgate_ok(r, ext_gate, drift_lo, drift_hi) -> bool:
     """Query-window gate alone (build gates not included): pre-probe
-    pairs pass, like every other gate."""
-    return (r["q_ext"] is None or r["q_ext"] <= ext_gate) and (
-        r["q_drift"] is None or drift_lo <= r["q_drift"] <= drift_hi
+    pairs pass, like every other gate. The post-block kernel bracket is
+    gated with the same symmetric band when recorded."""
+    return (
+        (r["q_ext"] is None or r["q_ext"] <= ext_gate)
+        and (r["q_drift"] is None or drift_lo <= r["q_drift"] <= drift_hi)
+        and (
+            r["q_drift_post"] is None
+            or drift_lo <= r["q_drift_post"] <= drift_hi
+        )
     )
 
 
@@ -548,22 +563,38 @@ def _q_headline_md(rows, clean, qclean, hrows, med_q_eff, ci_q,
             f"**Query-batch scaling efficiency, median over the same "
             f"{n_pool} pairs: {med_q_eff:.3f}**\n{pooled}."
         )
-    cur_effs = [r["q_eff"] for r in grp]
-    ci_cur = _bootstrap_median_ci(cur_effs)
     n_qgated = sum(1 for r in grp if r["q_ext"] is not None)
+    warm_effs = [r["q_warm_eff"] for r in grp if r["q_warm_eff"] is not None]
+    cold_effs = [r["q_eff"] for r in grp]
+    ci_warm = _bootstrap_median_ci(warm_effs)
+    ci_cold = _bootstrap_median_ci(cold_effs)
+    lead = ""
+    if warm_effs:
+        lead = (
+            f"**Query-batch scaling efficiency (steady-state serving — "
+            f"the pure scoring batch a warm server runs, min over the "
+            f"recorded warm repeats per level; CURRENT serving engine — "
+            f"the {len(warm_effs)} query-gated clean pairs at engine "
+            f"commit {cur}: direct range tasks + worker decoded-table "
+            f"caches + driver-side term dictionary): median "
+            f"{_median(warm_effs):.3f}** (95% CI {_fmt_ci(ci_warm)}; "
+            f"1/4 = parity; min over repeats because host-side vCPU "
+            f"steal is strictly additive and unobservable in-guest — "
+            f"every repeat is in the raw JSON, and the rusage accounting "
+            f"fields prove blown batches carry normal task CPU). "
+        )
     return (
-        f"**Query-batch scaling efficiency (CURRENT serving engine — the "
-        f"{len(grp)} clean pairs at engine commit {cur}: direct range "
-        f"tasks + worker decoded-table caches + driver-side term "
-        f"dictionary): median {_median(cur_effs):.3f}** (95% CI "
-        f"{_fmt_ci(ci_cur)}; 1/4 = parity; {n_qgated} of {len(grp)} pairs "
-        f"carry the round-4 query-window load/drift probes and pass their "
-        f"gate — ext<=3.0 cores over the serving windows, single-core "
-        f"drift in [0.8, 1.25] measured right before them). Pooled over "
-        f"every engine era "
+        lead
+        + f"Cold-batch efficiency (first batch after server open — adds "
+        f"the once-per-open fixed cost) over the same {len(grp)} pairs: "
+        f"median {_median(cold_effs):.3f} (95% CI {_fmt_ci(ci_cold)}; "
+        f"{n_qgated} of {len(grp)} pairs carry the round-4 query-window "
+        f"load/drift probes and pass their gate — ext<=3.0 cores over "
+        f"the serving windows, single-core drift in [0.8, 1.25] "
+        f"bracketed before AND after them). Pooled over every engine era "
         f"this round — including the retired Arrow-channel/cold-cache "
-        f"serving paths the era table below details — median over the "
-        f"same {n_pool} clean pairs: {med_q_eff:.3f} {pooled}."
+        f"serving paths the era table below details — cold-batch median "
+        f"over the same {n_pool} clean pairs: {med_q_eff:.3f} {pooled}."
     )
 
 
@@ -900,12 +931,25 @@ Methodology (documented deviations and controls):
   pool paid a per-batch lexicon-scan Spark job whose placement-dependent
   cost — 1.5-17s at 4N — was the measured cold-vs-warm gap). The query
   windows also record their own external-load meter and single-core
-  calibration (ext_cores_query / cal_sec_query) plus MemAvailable —
-  they run minutes after the gated build windows, and a burst landing
-  only there corrupts q-eff invisibly to the build gates (measured
-  2026-08-19: two pools accidentally overlapping one trial's query
-  block made warm batches 3x slower than cold at both levels while the
-  build windows read ext 0.0).
+  calibration (ext_cores_query / cal_sec_query, bracketed by
+  cal_sec_query_post AFTER the block) plus MemAvailable — they run
+  minutes after the gated build windows, and a burst landing only there
+  corrupts q-eff invisibly to the build gates (measured 2026-08-19: two
+  pools accidentally overlapping one trial's query block made warm
+  batches 3x slower than cold at both levels while the build windows
+  read ext 0.0).
+- Steady-state serving is the MIN over 3 recorded warm repeats per
+  level (query_warm_batch_secs in the raw JSON): this guest cannot
+  observe host-side vCPU steal mid-window — overnight 2026-08-19 trials
+  recorded 4N cold batches of 48-84s with a 15s warm right after, zero
+  /proc/vmstat reclaim, ext 0.0, normal bracketing kernels, and
+  bench/serve_probe4.py could not reproduce the slowdown in either a
+  same-app-after-build or a fresh-app arm on a quiet box (cold 14.2s
+  both arms, raw JSON in BENCH/logs/). Steal only ever ADDS wall time,
+  so min-of-repeats estimates the engine; one extra warm batch per
+  trial runs with per-task getrusage (q_acct) so a blown batch's CPU
+  accounting shows whether the work itself grew (engine) or only the
+  wall (host).
 - Hardware ceiling controls (plain multiprocessing, no Spark, same box):
   the chunk+tokenize kernel scales 0.78-1.01 from 4 -> 16 procs across
   recorded windows (cache-local Python object work), while the columnar

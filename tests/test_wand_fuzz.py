@@ -179,6 +179,15 @@ def test_auto_ranges_policy():
     # ...but a trivial list does not fan out to the whole cluster
     assert _auto_ranges(70_000, parallelism=64) == 2
     assert _auto_ranges(10, parallelism=64) == 1
+    # full scheduling waves: a memory-floor-driven count above the slot
+    # count rounds UP to the next multiple of the slots (21 ranges on 8
+    # slots would run waves of 8/8/5 with an idle tail)
+    assert _auto_ranges(84 * t, parallelism=8) == 24  # floor 21 -> 24
+    assert _auto_ranges(30 * t, parallelism=2) == 8  # already a multiple
+    # cap interplay: rounding up past MAX_RANGES only rounds down when
+    # the memory floor allows it; otherwise the cap wins as before
+    assert _auto_ranges(120 * t, parallelism=12) == MAX_RANGES  # floor 30
+    assert _auto_ranges(72 * t, parallelism=12) == 24  # floor 18 -> 24
 
 
 def test_wand_empty_and_single():
