@@ -381,6 +381,37 @@ def _qgate_ok(r, ext_gate, drift_lo, drift_hi) -> bool:
     )
 
 
+#: Clean-pair gate thresholds (declared once; write_report documents the
+#: calibration behind each number where it applies them).
+EXT_GATE = 3.0
+HW_GATE = 0.5
+DRIFT_LO, DRIFT_HI = 0.8, 1.25
+
+
+def _build_gate_ok(
+    r,
+    ext_gate: float = EXT_GATE,
+    hw_gate: float = HW_GATE,
+    drift_lo: float = DRIFT_LO,
+    drift_hi: float = DRIFT_HI,
+) -> bool:
+    """Build-window clean gate: external in-VM load <= ext_gate over both
+    build windows, same-window hardware-scaling ceiling >= hw_gate, and
+    symmetric single-core regime drift within [drift_lo, drift_hi].
+    Pairs predating a probe pass that probe's gate (field is None) —
+    EXCEPT ext, whose meter predates every recorded pair: a pair with no
+    load reading at all is never clean."""
+    return (
+        r["ext"] is not None
+        and r["ext"] <= ext_gate
+        and (r["hw_ceil"] is None or r["hw_ceil"] >= hw_gate)
+        and (
+            r["cal_drift"] is None
+            or drift_lo <= r["cal_drift"] <= drift_hi
+        )
+    )
+
+
 def _qwin_cell(r, is_qclean: bool) -> str:
     """Per-pair table cell for the query-window probes: 'ext/drift ✓'."""
     if r["q_ext"] is None and r["q_drift"] is None:
@@ -617,7 +648,8 @@ def write_report(args, complete, companions=()) -> None:
     # 3.0 sits above the meter's ~1.5-core misattribution floor under full
     # own load (bench/_hostload.py calibration) and far below the 10+ cores
     # real co-tenant bursts measure
-    EXT_GATE = 3.0
+    # (threshold constants live at module scope beside _build_gate_ok so
+    # the gate predicate is unit-testable; prose here records WHY)
     # HW-CEILING GATE: the concurrent calibration kernel measures the
     # box's OWN N->4N scaling in each pair's two pre-build windows
     # ((thr_hi/thr_lo)/4, engine-independent). The kernel is half
@@ -633,7 +665,6 @@ def write_report(args, complete, companions=()) -> None:
     # measure engine scaling, whatever the engine does. Pairs predating
     # the probe pass this gate (hw None), as pre-meter pairs pass the
     # ext gate.
-    HW_GATE = 0.5
     # REGIME-DRIFT GATE (symmetric — it cuts pairs whose eff is inflated
     # in our favor just as it cuts deflated ones): the single-core
     # cal_sec must agree between a pair's two windows to within 25%
@@ -641,16 +672,7 @@ def write_report(args, complete, companions=()) -> None:
     # pair 20260818-043310#1, read 1.32s @N vs 0.81s @4N — a 1.6x-slow
     # N window that INFLATED its build eff to 0.852, which this gate
     # discards even though keeping it would raise the median).
-    DRIFT_LO, DRIFT_HI = 0.8, 1.25
-    clean = [
-        r for r in rows
-        if r["ext"] is not None and r["ext"] <= EXT_GATE
-        and (r["hw_ceil"] is None or r["hw_ceil"] >= HW_GATE)
-        and (
-            r["cal_drift"] is None
-            or DRIFT_LO <= r["cal_drift"] <= DRIFT_HI
-        )
-    ]
+    clean = [r for r in rows if _build_gate_ok(r)]
     # QUERY-WINDOW GATE (round-4 addition): the serving windows run
     # minutes after the build windows the three gates above meter, and a
     # burst landing only there corrupts q-eff while the pair stays clean
@@ -709,12 +731,7 @@ def write_report(args, complete, companions=()) -> None:
     comp_lines = []
     for base, comp in companions:
         crows = _pair_rows(comp, base)
-        cclean = [
-            r for r in crows
-            if r["ext"] is not None and r["ext"] <= 3.0
-            and (r["hw_ceil"] is None or r["hw_ceil"] >= 0.5)
-            and (r["cal_drift"] is None or 0.8 <= r["cal_drift"] <= 1.25)
-        ]
+        cclean = [r for r in crows if _build_gate_ok(r)]
         cuse = cclean if len(cclean) >= 3 else crows
         comp_lines.append(
             f"- {base} vs {base * 4} cores ({len(crows)} pairs, "

@@ -1,0 +1,207 @@
+"""Unit tests for bench/scaling.py's protocol arithmetic and clean gates.
+
+The scaling headline (BENCH/BASELINE.md) is only as trustworthy as the
+pair math and the gate predicates that pick which pairs count — these
+are pure functions over recorded trial JSON, so they get direct tests:
+no Spark, no corpus, no timing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench")
+if BENCH not in sys.path:
+    sys.path.insert(0, BENCH)
+
+import scaling  # noqa: E402  (bench/scaling.py)
+
+
+def _trial(
+    fps,
+    qsec,
+    *,
+    ext=0.0,
+    cal_thr=None,
+    cal_sec=None,
+    q_ext=None,
+    q_cal=None,
+    q_cal_post=None,
+    warm=None,
+):
+    t = {
+        "files_per_sec": fps,
+        "query_batch_sec": qsec,
+        "build_sec": 100.0,
+        "query_p50_sec": 1.0,
+        "ext_cores": ext,
+        "commit": None,
+    }
+    if cal_thr is not None:
+        t["cal_thr_cores"] = cal_thr
+    if cal_sec is not None:
+        t["cal_sec"] = cal_sec
+    if q_ext is not None:
+        t["ext_cores_query"] = q_ext
+    if q_cal is not None:
+        t["cal_sec_query"] = q_cal
+    if q_cal_post is not None:
+        t["cal_sec_query_post"] = q_cal_post
+    if warm is not None:
+        t["query_warm_batch_sec"] = warm
+    return t
+
+
+def _row(**kw):
+    """A pair row with every gate field quiet; override per test."""
+    base = {
+        "ext": 0.0,
+        "hw_ceil": 0.9,
+        "cal_drift": 1.0,
+        "q_ext": 0.0,
+        "q_drift": 1.0,
+        "q_drift_post": 1.0,
+    }
+    base.update(kw)
+    return base
+
+
+# ---------------------------------------------------------------- medians
+
+
+def test_median_odd_even():
+    assert scaling._median([3.0, 1.0, 2.0]) == 2.0
+    assert scaling._median([4.0, 1.0, 2.0, 3.0]) == 2.5
+
+
+def test_bootstrap_ci_deterministic_and_ordered():
+    xs = [0.7, 0.75, 0.8, 0.82, 0.85, 0.9, 0.95]
+    ci1 = scaling._bootstrap_median_ci(xs, n_boot=2000)
+    ci2 = scaling._bootstrap_median_ci(xs, n_boot=2000)
+    assert ci1 == ci2  # fixed seed -> reproducible report
+    lo, hi = ci1
+    assert min(xs) <= lo <= hi <= max(xs)
+    # the median itself lies inside its own CI
+    assert lo <= scaling._median(xs) <= hi
+
+
+def test_bootstrap_ci_needs_four_pairs():
+    assert scaling._bootstrap_median_ci([0.8, 0.9, 1.0]) is None
+
+
+# ---------------------------------------------------------- pair assembly
+
+
+def test_pair_rows_math():
+    lo = _trial(
+        10_000.0, 40.0, ext=0.5, cal_thr=1.5, cal_sec=1.0,
+        q_ext=0.0, q_cal=1.0, q_cal_post=1.0, warm=32.0,
+    )
+    hi = _trial(
+        32_000.0, 12.5, ext=1.0, cal_thr=4.5, cal_sec=1.1,
+        q_ext=2.0, q_cal=1.2, q_cal_post=0.9, warm=10.0,
+    )
+    (r,) = scaling._pair_rows({"p#0": {2: lo, 8: hi}}, 2)
+    assert r["eff"] == pytest.approx((32_000 / 10_000) / 4)
+    assert r["q_eff"] == pytest.approx((40.0 / 12.5) / 4)
+    assert r["q_warm_eff"] == pytest.approx((32.0 / 10.0) / 4)
+    assert r["ext"] == 1.0  # max over the two build windows
+    assert r["hw_ceil"] == pytest.approx((4.5 / 1.5) / 4)
+    assert r["cal_drift"] == pytest.approx(1.1)
+    assert r["q_ext"] == 2.0
+    assert r["q_drift"] == pytest.approx(1.2)
+    assert r["q_drift_post"] == pytest.approx(0.9)
+
+
+def test_pair_rows_preprobe_fields_are_none():
+    lo = _trial(10_000.0, 40.0)
+    hi = _trial(30_000.0, 15.0)
+    (r,) = scaling._pair_rows({"p#0": {2: lo, 8: hi}}, 2)
+    for f in (
+        "hw_ceil", "cal_drift", "q_ext", "q_drift", "q_drift_post",
+        "q_warm_eff",
+    ):
+        assert r[f] is None, f
+
+
+# ------------------------------------------------------------ build gate
+
+
+def test_build_gate_quiet_pair_is_clean():
+    assert scaling._build_gate_ok(_row())
+
+
+def test_build_gate_external_load_rejects():
+    assert not scaling._build_gate_ok(_row(ext=scaling.EXT_GATE + 0.1))
+    # and a pair with NO load reading at all is never clean
+    assert not scaling._build_gate_ok(_row(ext=None))
+
+
+def test_build_gate_hw_ceiling_rejects_steal_regime():
+    assert not scaling._build_gate_ok(_row(hw_ceil=0.4))
+    # pre-probe pairs pass (None)
+    assert scaling._build_gate_ok(_row(hw_ceil=None))
+
+
+def test_build_gate_drift_is_symmetric():
+    # a slow N window (drift < lo) INFLATES eff — must be cut too
+    assert not scaling._build_gate_ok(_row(cal_drift=0.62))
+    assert not scaling._build_gate_ok(_row(cal_drift=1.44))
+    assert scaling._build_gate_ok(_row(cal_drift=scaling.DRIFT_LO))
+    assert scaling._build_gate_ok(_row(cal_drift=scaling.DRIFT_HI))
+    assert scaling._build_gate_ok(_row(cal_drift=None))
+
+
+# ------------------------------------------------------------ query gate
+
+
+def _qok(r):
+    return scaling._qgate_ok(
+        r, scaling.EXT_GATE, scaling.DRIFT_LO, scaling.DRIFT_HI
+    )
+
+
+def test_query_gate_mirrors_build_thresholds():
+    assert _qok(_row())
+    assert not _qok(_row(q_ext=scaling.EXT_GATE + 0.1))
+    assert not _qok(_row(q_drift=0.5))
+    assert not _qok(_row(q_drift_post=1.5))
+    # pre-probe pairs pass
+    assert _qok(_row(q_ext=None, q_drift=None, q_drift_post=None))
+
+
+def test_query_gate_is_independent_of_build_fields():
+    # a build-dirty pair can still have clean query windows (the caller
+    # composes the gates; this predicate must not peek at build fields)
+    assert _qok(_row(ext=99.0, hw_ceil=0.1, cal_drift=9.9))
+
+
+# --------------------------------------------------------------- eras
+
+
+def test_engine_commit_none_is_pretag():
+    assert scaling._engine_commit(None) == "pre-tag"
+
+
+def test_engine_commit_maps_doc_commit_to_engine_commit():
+    # HEAD may be a doc/bench-only commit; the era key must be the last
+    # commit at-or-before it touching the measured code, so doc commits
+    # landing mid-pool don't split one engine into cosmetic eras
+    import subprocess
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip()
+    engine = subprocess.run(
+        ["git", "log", "-1", "--format=%h", "HEAD", "--",
+         "quickb_spark/", "bench/_scale_worker.py"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip()
+    if not head or not engine:
+        pytest.skip("not a git checkout")
+    assert scaling._engine_commit(head) == engine
