@@ -205,3 +205,83 @@ def test_engine_commit_maps_doc_commit_to_engine_commit():
     if not head or not engine:
         pytest.skip("not a git checkout")
     assert scaling._engine_commit(head) == engine
+
+
+# ------------------------------------------------- end-to-end regeneration
+
+
+def _pool_trial(cpus, pair, fps, qsec, **extra):
+    master = (
+        "local-cluster[1,2,14336]" if cpus == 2 else "local-cluster[4,2,14336]"
+    )
+    t = {
+        "cpus": cpus,
+        "master": master,
+        "mode": "cluster",
+        "n_docs": 100,
+        "n_files": 100,
+        "pair": pair,
+        "build_sec": 100.0,
+        "files_per_sec": fps,
+        "query_batch_sec": qsec,
+        "query_p50_sec": 1.0,
+        "ext_cores": 0.0,
+        "commit": None,
+        "ts": "2026-01-01 00:00:00",
+    }
+    t.update(extra)
+    return t
+
+
+def test_report_from_pool_regenerates_deterministically(tmp_path):
+    """write_report must digest a pool mixing pre-probe trials (minimal
+    fields) with fully-instrumented round-4 trials, and two regenerations
+    of the same pool must be byte-identical below the timestamp line."""
+    import argparse
+    import json
+
+    pool = tmp_path / "pool.jsonl"
+    rows = []
+    # three fully-instrumented pairs (enough for the clean-median path)
+    for i, (flo, fhi) in enumerate([(100, 340), (100, 330), (100, 320)]):
+        for cpus, fps, qsec, warm in (
+            (2, flo, 40.0, 30.0),
+            (8, fhi, 14.0, 9.0),
+        ):
+            rows.append(_pool_trial(
+                cpus, f"t#{i}", float(fps), qsec,
+                query_warm_batch_sec=warm,
+                cal_thr_cores=1.5 if cpus == 2 else 4.6,
+                cal_sec=1.0,
+                ext_cores_query=0.0,
+                cal_sec_query=1.0,
+                cal_sec_query_post=1.0,
+                phases={
+                    "phase1 flat checkpoint": 70.0,
+                    "phase2 merge wave 0-63": 25.0,
+                },
+            ))
+    # one pre-probe pair: minimal fields only (like early recorded trials)
+    rows.append(_pool_trial(2, "t#old", 100.0, 44.0))
+    rows.append(_pool_trial(8, "t#old", 300.0, 18.0))
+    pool.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    out = tmp_path / "report.md"
+    args = argparse.Namespace(
+        n=2, exec_cores=2, cluster=True, docs=100,
+        pool=str(pool), out=str(out), pairs=0,
+    )
+    scaling.report_from_pool(args)
+    body1 = out.read_text().splitlines()[1:]
+    assert any("scaling efficiency" in l for l in body1)
+    # all four pairs appear in the per-pair table, none dropped
+    text = "\n".join(body1)
+    for pid in ("t#0", "t#1", "t#2", "t#old"):
+        assert pid in text
+    # 4 clean pairs (pre-probe passes every probe gate it predates)
+    assert "4\nclean matched pairs" in text or "4 clean" in text.replace(
+        "\n", " "
+    ) or "over the\n4" in text
+    scaling.report_from_pool(args)
+    body2 = out.read_text().splitlines()[1:]
+    assert body1 == body2
