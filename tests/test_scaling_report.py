@@ -285,3 +285,49 @@ def test_report_from_pool_regenerates_deterministically(tmp_path):
     scaling.report_from_pool(args)
     body2 = out.read_text().splitlines()[1:]
     assert body1 == body2
+
+
+def test_cold_reopen_note_renders_for_reopen_pairs(tmp_path):
+    """Pairs recording query_cold_batch_secs (the min-over-3 fresh
+    server re-opens) must be counted in the current-engine cold-batch
+    headline; a pool without the field must not mention re-opens."""
+    import argparse
+    import json
+
+    def _pool(with_reopen):
+        rows = []
+        # two eras so the current-engine branch of the headline renders:
+        # one old pre-tag pair, three pairs at a fake "current" commit
+        # old pair id sorts FIRST: eras are keyed by recording order and
+        # the headline leads with the newest era
+        rows.append(_pool_trial(2, "a#old", 100.0, 44.0))
+        rows.append(_pool_trial(8, "a#old", 300.0, 18.0))
+        for i in range(3):
+            for cpus, fps, qsec, warm in ((2, 100, 40.0, 30.0),
+                                          (8, 330, 14.0, 9.0)):
+                extra = dict(
+                    query_warm_batch_sec=warm, commit="deadbee",
+                    cal_sec=1.0, ext_cores_query=0.0,
+                    cal_sec_query=1.0, cal_sec_query_post=1.0,
+                )
+                if with_reopen:
+                    extra["query_cold_batch_secs"] = [qsec, qsec + 9.0,
+                                                      qsec + 1.0]
+                rows.append(_pool_trial(cpus, f"t#{i}", float(fps),
+                                        qsec, **extra))
+        p = tmp_path / f"pool_{with_reopen}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        return p
+
+    for with_reopen in (True, False):
+        out = tmp_path / f"report_{with_reopen}.md"
+        args = argparse.Namespace(
+            n=2, exec_cores=2, cluster=True, docs=100,
+            pool=str(_pool(with_reopen)), out=str(out), pairs=0,
+        )
+        scaling.report_from_pool(args)
+        text = out.read_text()
+        if with_reopen:
+            assert "min over 3 fresh server re-opens for the 3 pairs" in text
+        else:
+            assert "fresh server re-opens for the" not in text
