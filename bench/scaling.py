@@ -288,6 +288,26 @@ def report_from_pool(args) -> None:
 _SINGLE_RUN: list[dict] = []
 
 
+def _warm_sec(t) -> float | None:
+    """Warm-batch seconds for a trial: min over EVERY recorded warm
+    execution of the batch — the timed repeats (query_warm_batch_secs)
+    plus the rusage-instrumented diagnostic batch (q_acct.wall_sec),
+    which runs the identical planning + range tasks merely wrapped with
+    per-task getrusage. Host steal is strictly additive and unobservable
+    in-guest, so under the same min-estimator rationale as the repeats
+    themselves, every recorded execution is a sample; measured
+    2026-08-21 (pair 20260821-212103#0 @4N): all 3 timed repeats
+    burst-hit at 35.8/36.9/87.4s while the acct batch seconds later ran
+    12.0s with normal task utime."""
+    secs = list(t.get("query_warm_batch_secs") or [])
+    if t.get("query_warm_batch_sec"):
+        secs.append(t["query_warm_batch_sec"])
+    acct = t.get("q_acct") or {}
+    if acct.get("wall_sec"):
+        secs.append(acct["wall_sec"])
+    return min(secs) if secs else None
+
+
 def _pair_rows(complete, n) -> list[dict]:
     rows = []
     for pid, levels in complete.items():
@@ -356,10 +376,8 @@ def _pair_rows(complete, n) -> list[dict]:
                 # warm batch is the pure scoring job; cold - warm is the
                 # per-batch fixed cost (df lookup + listing)
                 "q_warm_eff": (
-                    (lo["query_warm_batch_sec"] / hi["query_warm_batch_sec"])
-                    / 4.0
-                    if lo.get("query_warm_batch_sec")
-                    and hi.get("query_warm_batch_sec")
+                    (_warm_sec(lo) / _warm_sec(hi)) / 4.0
+                    if _warm_sec(lo) and _warm_sec(hi)
                     else None
                 ),
             }
@@ -454,13 +472,13 @@ def _q_decomp_md(hrows) -> str:
     med_warm = _median([r["q_warm_eff"] for r in with_warm])
     fixed_lo = _median(
         [
-            r["lo"]["query_batch_sec"] - r["lo"]["query_warm_batch_sec"]
+            r["lo"]["query_batch_sec"] - _warm_sec(r["lo"])
             for r in with_warm
         ]
     )
     fixed_hi = _median(
         [
-            r["hi"]["query_batch_sec"] - r["hi"]["query_warm_batch_sec"]
+            r["hi"]["query_batch_sec"] - _warm_sec(r["hi"])
             for r in with_warm
         ]
     )
@@ -603,8 +621,10 @@ def _q_headline_md(rows, clean, qclean, hrows, med_q_eff, ci_q,
     if warm_effs:
         lead = (
             f"**Query-batch scaling efficiency (steady-state serving — "
-            f"the pure scoring batch a warm server runs, min over the "
-            f"recorded warm repeats per level; CURRENT serving engine — "
+            f"the pure scoring batch a warm server runs, min over every "
+            f"recorded warm execution per level — the timed repeats plus "
+            f"the rusage-instrumented diagnostic batch; CURRENT serving "
+            f"engine — "
             f"the {len(warm_effs)} query-gated clean pairs at engine "
             f"commit {cur}: direct range tasks + worker decoded-table "
             f"caches + driver-side term dictionary): median "
@@ -977,8 +997,13 @@ Methodology (documented deviations and controls):
   pools accidentally overlapping one trial's query block made warm
   batches 3x slower than cold at both levels while the build windows
   read ext 0.0).
-- Steady-state serving is the MIN over 3 recorded warm repeats per
-  level (query_warm_batch_secs in the raw JSON): this guest cannot
+- Steady-state serving is the MIN over every recorded warm execution
+  per level — the 3 timed repeats (query_warm_batch_secs in the raw
+  JSON) plus the rusage-instrumented diagnostic batch (q_acct.wall_sec;
+  identical planning + range tasks, only wrapped with per-task
+  getrusage — recorded 2026-08-21: a window whose 3 timed repeats were
+  all burst-hit at 35.8-87.4s ran the acct batch at 12.0s with normal
+  utime seconds later): this guest cannot
   observe host-side vCPU steal mid-window — overnight 2026-08-19 trials
   recorded 4N cold batches of 48-84s with a 15s warm right after, zero
   /proc/vmstat reclaim, ext 0.0, normal bracketing kernels, and
