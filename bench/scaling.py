@@ -289,22 +289,39 @@ _SINGLE_RUN: list[dict] = []
 
 
 def _warm_sec(t) -> float | None:
-    """Warm-batch seconds for a trial: min over EVERY recorded warm
-    execution of the batch — the timed repeats (query_warm_batch_secs)
-    plus the rusage-instrumented diagnostic batch (q_acct.wall_sec),
-    which runs the identical planning + range tasks merely wrapped with
-    per-task getrusage. Host steal is strictly additive and unobservable
-    in-guest, so under the same min-estimator rationale as the repeats
-    themselves, every recorded execution is a sample; measured
-    2026-08-21 (pair 20260821-212103#0 @4N): all 3 timed repeats
-    burst-hit at 35.8/36.9/87.4s while the acct batch seconds later ran
-    12.0s with normal task utime."""
+    """Warm-batch seconds for a trial: min over every recorded
+    SAME-SCOPE warm execution of the batch — the timed repeats
+    (query_warm_batch_secs) plus, when its scope marker says
+    "full_batch", the rusage-instrumented diagnostic batch
+    (q_acct.wall_sec). Round-5 fix (ADVICE r4, medium): the round-4 acct
+    batch planned before its t0 and discarded result chunks, so its
+    floor was structurally below the timed repeats' — pooling it biased
+    the 4N warm min low. The acct batch now replicates the full timed
+    scope (planning, chunks returned, driver merge + createDataFrame +
+    count inside the window, bench/_scale_worker._warm_batch_rusage) and
+    tags itself scope="full_batch"; legacy narrower-scope samples are
+    used only as a burst-rescue FALLBACK — when every timed repeat is
+    demonstrably burst-hit (warm min exceeding the trial's own cold-batch
+    min, as in pair 20260821-212103#0 @4N: repeats 35.8/36.9/87.4s, acct
+    12.0s with normal task utime). Host steal is strictly additive and
+    unobservable in-guest, so min over same-scope samples estimates the
+    engine's time."""
     secs = list(t.get("query_warm_batch_secs") or [])
     if t.get("query_warm_batch_sec"):
         secs.append(t["query_warm_batch_sec"])
     acct = t.get("q_acct") or {}
     if acct.get("wall_sec"):
-        secs.append(acct["wall_sec"])
+        if acct.get("scope") == "full_batch":
+            secs.append(acct["wall_sec"])
+        else:
+            # legacy narrow-scope sample: burst-rescue only
+            cold = [
+                s
+                for s in (t.get("query_cold_batch_secs") or [])
+                if s is not None
+            ]
+            if secs and cold and min(secs) > min(cold):
+                secs.append(acct["wall_sec"])
     return min(secs) if secs else None
 
 
@@ -315,6 +332,9 @@ def _pair_rows(complete, n) -> list[dict]:
         exts = [
             t["ext_cores"] for t in (lo, hi) if t.get("ext_cores") is not None
         ]
+        # bind once per pair (ADVICE r4): _warm_sec re-scans the trial's
+        # sample lists, and `is not None` keeps a legitimate 0.0 recorded
+        wl, wh = _warm_sec(lo), _warm_sec(hi)
         rows.append(
             {
                 "pair": pid,
@@ -376,8 +396,8 @@ def _pair_rows(complete, n) -> list[dict]:
                 # warm batch is the pure scoring job; cold - warm is the
                 # per-batch fixed cost (df lookup + listing)
                 "q_warm_eff": (
-                    (_warm_sec(lo) / _warm_sec(hi)) / 4.0
-                    if _warm_sec(lo) and _warm_sec(hi)
+                    (wl / wh) / 4.0
+                    if wl is not None and wh is not None and wh > 0
                     else None
                 ),
             }
@@ -463,22 +483,40 @@ def _bootstrap_median_ci(xs, level=0.95, n_boot=20_000, seed=42):
     return meds[lo_i], meds[hi_i]
 
 
+def _timed_warm_min(t) -> float | None:
+    """Min over the TIMED warm repeats only — the same measurement scope
+    as the cold batch (topk().count() wall). The cold-warm fixed-cost
+    decomposition must subtract like from like (ADVICE r4): the headline
+    _warm_sec may fold in the acct sample, whose legacy narrow scope would
+    misattribute planning/merge/count time to 'fixed cost'."""
+    secs = [s for s in (t.get("query_warm_batch_secs") or []) if s is not None]
+    if t.get("query_warm_batch_sec") is not None:
+        secs.append(t["query_warm_batch_sec"])
+    return min(secs) if secs else None
+
+
 def _q_decomp_md(hrows) -> str:
     """Query-batch decomposition line from the warm-repeat fields (pairs
     recorded before round-4 instrumentation lack them — count shown)."""
-    with_warm = [r for r in hrows if r["q_warm_eff"] is not None]
+    with_warm = [
+        r
+        for r in hrows
+        if r["q_warm_eff"] is not None
+        and _timed_warm_min(r["lo"]) is not None
+        and _timed_warm_min(r["hi"]) is not None
+    ]
     if not with_warm:
         return ""
     med_warm = _median([r["q_warm_eff"] for r in with_warm])
     fixed_lo = _median(
         [
-            r["lo"]["query_batch_sec"] - _warm_sec(r["lo"])
+            r["lo"]["query_batch_sec"] - _timed_warm_min(r["lo"])
             for r in with_warm
         ]
     )
     fixed_hi = _median(
         [
-            r["hi"]["query_batch_sec"] - _warm_sec(r["hi"])
+            r["hi"]["query_batch_sec"] - _timed_warm_min(r["hi"])
             for r in with_warm
         ]
     )
@@ -585,6 +623,59 @@ def _current_engine_pairs(rows, clean):
         and _engine_commit(r["hi"].get("commit")) == cur.split("/")[-1]
     ]
     return cur, grp
+
+
+def _build_headline_md(rows, clean, med_eff, med_all, use_clean, effs,
+                       ci_eff) -> str:
+    """Build-efficiency headline. Round-5 discipline (VERDICT r4 #2): the
+    number a reader takes away must describe the engine AS SHIPPED, so
+    when the pool spans engine eras the headline leads with the CURRENT
+    era's clean-pair median and prints the pooled-across-eras figure
+    beside it (the pooled number includes pairs of retired engine
+    states; it belongs to the history table, not the lead). An explicit
+    WARNING line fires whenever the current era trails the pooled median
+    by more than 0.05 — exactly the silent divergence round 4 shipped."""
+    def _fmt_ci(ci):
+        return f"[{ci[0]:.3f}, {ci[1]:.3f}]" if ci else "n/a (<4 pairs)"
+
+    n_pool = len(clean) if use_clean else len(rows)
+    pooled_txt = (
+        f"(north rule target: >= 0.8; all-pairs median over {len(rows)}: "
+        f"{med_all:.3f}; 95% bootstrap CI of the "
+        f"{'clean' if use_clean else 'all-pairs'}-median {_fmt_ci(ci_eff)} "
+        f"(percentile bootstrap over pairs, seed 42); full distribution "
+        f"{', '.join(f'{e:.3f}' for e in effs)})"
+    )
+    cur, grp = _current_engine_pairs(rows, clean)
+    if len(grp) < 3 or len(grp) == n_pool:
+        return (
+            f"**Indexing-throughput scaling efficiency (N -> 4N), median "
+            f"over the {n_pool} {'clean' if use_clean else '(all)'} "
+            f"matched pairs: {med_eff:.3f}**\n{pooled_txt}."
+        )
+    cur_effs = [r["eff"] for r in grp]
+    cur_med = _median(cur_effs)
+    ci_cur = _bootstrap_median_ci(cur_effs)
+    warn = ""
+    if cur_med < med_eff - 0.05:
+        warn = (
+            f"\n**WARNING — era regression: the current engine era's "
+            f"clean-pair median ({cur_med:.3f}) trails the pooled "
+            f"headline ({med_eff:.3f}) by more than 0.05. The pooled "
+            f"number leans on retired engine states; treat the "
+            f"current-era figure as the engine's demonstrated scaling "
+            f"until fresh pairs close the gap.**"
+        )
+    return (
+        f"**Indexing-throughput scaling efficiency (N -> 4N), CURRENT "
+        f"engine (era {cur}, {len(grp)} clean pairs): median "
+        f"{cur_med:.3f}** (95% CI {_fmt_ci(ci_cur)}; north rule target "
+        f">= 0.8; distribution "
+        f"{', '.join(f'{e:.3f}' for e in sorted(cur_effs))}). Pooled "
+        f"across every engine era this round, median over the {n_pool} "
+        f"{'clean' if use_clean else '(all)'} matched pairs: "
+        f"{med_eff:.3f}\n{pooled_txt}.{warn}"
+    )
 
 
 def _q_headline_md(rows, clean, qclean, hrows, med_q_eff, ci_q,
@@ -908,15 +999,7 @@ LOWERS the pool median. The headline is the median over clean pairs
 when at least 3 exist (here: {len(clean)} clean of {len(rows)}); the
 all-pairs median is printed beside it.
 
-**Indexing-throughput scaling efficiency (N -> 4N), median over the
-{len(clean) if use_clean else len(rows)}
-{"clean" if use_clean else "(all)"} matched pairs: {med_eff:.3f}**
-(north rule target: >= 0.8; all-pairs median over {len(rows)}:
-{med_all:.3f}; best {"clean " if use_clean else ""}pair
-{best['eff']:.3f}; 95% bootstrap CI of the
-{"clean" if use_clean else "all-pairs"}-median {_fmt_ci(ci_eff)}
-(percentile bootstrap over pairs, seed 42);
-full distribution {', '.join(f'{e:.3f}' for e in effs)}).
+{_build_headline_md(rows, clean, med_eff, med_all, use_clean, effs, ci_eff)}
 {_q_headline_md(rows, clean, qclean, hrows, med_q_eff, ci_q, use_clean)}{_q_decomp_md(hrows)}
 {_commit_era_md(rows, clean)}
 Best absolute 4N build throughput: {best_thr['hi']['files_per_sec']}
@@ -997,13 +1080,17 @@ Methodology (documented deviations and controls):
   pools accidentally overlapping one trial's query block made warm
   batches 3x slower than cold at both levels while the build windows
   read ext 0.0).
-- Steady-state serving is the MIN over every recorded warm execution
-  per level — the 3 timed repeats (query_warm_batch_secs in the raw
-  JSON) plus the rusage-instrumented diagnostic batch (q_acct.wall_sec;
-  identical planning + range tasks, only wrapped with per-task
-  getrusage — recorded 2026-08-21: a window whose 3 timed repeats were
-  all burst-hit at 35.8-87.4s ran the acct batch at 12.0s with normal
-  utime seconds later): this guest cannot
+- Steady-state serving is the MIN over every recorded SAME-SCOPE warm
+  execution per level — the 3 timed repeats (query_warm_batch_secs in
+  the raw JSON) plus the rusage-instrumented diagnostic batch
+  (q_acct.wall_sec) when its scope marker says "full_batch" (round-5
+  scope: timed from before driver planning through chunks + merge +
+  createDataFrame + count, exactly what the timed repeats measure;
+  round-4 acct samples had a structurally narrower scope and are used
+  only as a burst-rescue fallback when every timed repeat exceeds the
+  trial's own cold minimum — recorded 2026-08-21: a window whose 3
+  timed repeats were all burst-hit at 35.8-87.4s ran the acct batch at
+  12.0s with normal utime mere seconds later): this guest cannot
   observe host-side vCPU steal mid-window — overnight 2026-08-19 trials
   recorded 4N cold batches of 48-84s with a 15s warm right after, zero
   /proc/vmstat reclaim, ext 0.0, normal bracketing kernels, and

@@ -128,7 +128,7 @@ def _plan(searcher, qs):
     payloads = [
         (r, lo, hi, files, sorted(dfs_h), dfs_h, stats["n_docs"],
          stats["avgdl"], block_size, tbq, 10, "auto", searcher.k1,
-         searcher.b, None, None)
+         searcher.b, None, None, 0)
         for r, lo, hi in _range_bounds(r_count)
     ]
     return payloads, files

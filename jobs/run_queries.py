@@ -4,7 +4,7 @@
       --index-dir <index root> \\
       --queries <parquet/csv with (query_id, query_text)> \\
       [--k 10] [--output <parquet dir>] [--strategy auto|wand|exact] \\
-      [--ranges auto|<int>] [--phrase]
+      [--ranges auto|<int>] [--phrase [--slop N]] [--match-all]
 """
 
 from __future__ import annotations
@@ -27,9 +27,22 @@ def main() -> None:
     ap.add_argument(
         "--phrase",
         action="store_true",
-        help="exact-phrase retrieval: each query's text must occur as "
-        "consecutive tokens in a doc (BM25 scores unchanged); Searcher "
-        "path only",
+        help="phrase retrieval: each query's tokens must occur in order "
+        "with successive gaps <= slop + 1 (BM25 scores unchanged); "
+        "Searcher path only",
+    )
+    ap.add_argument(
+        "--slop",
+        type=int,
+        default=0,
+        help="max extra tokens between successive phrase terms (0 = exact "
+        "adjacency); only with --phrase",
+    )
+    ap.add_argument(
+        "--match-all",
+        action="store_true",
+        help="conjunctive (AND-mode) retrieval: only docs containing every "
+        "query term (BM25 scores unchanged); Searcher path only",
     )
     ap.add_argument(
         "--one-shot",
@@ -56,9 +69,9 @@ def main() -> None:
 
     ranges = args.ranges if args.ranges == "auto" else int(args.ranges)
     if args.one_shot:
-        if args.phrase:
-            raise SystemExit("--phrase requires the Searcher path "
-                             "(drop --one-shot)")
+        if args.phrase or args.match_all:
+            raise SystemExit("--phrase/--match-all require the Searcher "
+                             "path (drop --one-shot)")
         result = bm25_topk_segments(
             spark, args.index_dir, queries, k=args.k,
             strategy=args.strategy, ranges=ranges,
@@ -66,7 +79,7 @@ def main() -> None:
     else:
         result = Searcher(spark, args.index_dir).topk(
             queries, k=args.k, strategy=args.strategy, ranges=ranges,
-            phrase=args.phrase,
+            phrase=args.phrase, match_all=args.match_all, slop=args.slop,
         )
     if args.output:
         result.write.mode("overwrite").parquet(args.output)

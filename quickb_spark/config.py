@@ -114,6 +114,16 @@ class IndexConfig:
     #: 10-20x its input bytes (postings + vocab + sort buffers); raise
     #: this only with executor memory to spare.
     p1_task_bytes: int = 32 << 20
+    #: Carry doc_len as a per-posting run column (legacy v4 layout) instead
+    #: of re-attaching it from the doc-stats runs at phase-2 encode time.
+    #: Round-5 A/B (bench/p2_dl_ab.py): the re-attach is a per-posting
+    #: binary search over the corpus doc-stats table — ~20+ cache-missing
+    #: DRAM probes per posting on the already-DRAM-bound merge phase —
+    #: which measured strictly slower at every level than the 8
+    #: bytes/posting of extra sequential run traffic it saves. Default ON
+    #: (= the layout that won the A/B); the shed layout stays available
+    #: for corpora where run bytes, not merge DRAM, are the bottleneck.
+    p1_dl_in_runs: bool = True
 
     def __post_init__(self) -> None:
         if not 0.0 < self.hot_term_doc_fraction <= 1.0:

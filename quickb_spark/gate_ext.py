@@ -233,6 +233,21 @@ def q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Searcher(spark, idx).topk(gate.PHRASE_QUERIES, k=10, phrase=True)
 
 
+def q_phrase_slop_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5b: SLOPPY phrase top-k through the compressed-segment engine
+    (Searcher.topk(phrase=True, slop=2): terms in order with successive
+    position gaps <= slop + 1 — the code-search follow-up to exact
+    phrase). Rows-only, like t5_phrase_segments; the python oracle is
+    tests/test_segments_wand.py::test_sloppy_phrase_matches_bruteforce_oracle
+    (same chain-DP semantics, independent implementation)."""
+    from quickb_spark.query.searcher import Searcher
+
+    idx = _gate_index(spark, sf_dir)
+    return Searcher(spark, idx).topk(
+        gate.PHRASE_QUERIES, k=10, phrase=True, slop=2
+    )
+
+
 def q_conjunctive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 full path: conjunctive (all-terms) top-k through the
     compressed-segment engine (Searcher.topk(match_all=True): sorted-array
@@ -450,6 +465,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t3_embed_near_dup": q_embed_near_dup,
     "t1_wand_segments": q_wand_segments,
     "t5_phrase_segments": q_phrase_segments,
+    "t5s_phrase_slop_segments": q_phrase_slop_segments,
     "t6_conjunctive_segments": q_conjunctive_segments,
     "s10_segments_meta": q_segments_meta,
     "mm_media_features": q_media_features,

@@ -158,10 +158,11 @@ class _TaskAccumulator:
     term is computed once per flush with the vectorized batch hash
     (hash_bytes_vec) — no scalar hashing on the per-posting path."""
 
-    def __init__(self) -> None:
+    def __init__(self, dl_in_runs: bool = True) -> None:
         self.vocab: dict[str, int] = {}
         self.new_terms: list[str] = []
         self.id2hash = np.empty(0, dtype=np.int64)
+        self.dl_in_runs = dl_in_runs
         self.reset()
         # flushed sub-batches
         self.parts: list[tuple] = []
@@ -223,6 +224,7 @@ class _TaskAccumulator:
                 np.asarray(self.tfs, dtype=np.int32),
                 buf,
                 off,
+                np.repeat(dls, nt) if self.dl_in_runs else None,
             )
         )
         self.chunk_ids.append(doc_ids)
@@ -230,13 +232,14 @@ class _TaskAccumulator:
         self.reset()
 
     def concat(self):
-        """-> (term_h, doc_id, tf, pos_buf, pos_off) over the whole task,
-        plus per-chunk (doc_id, doc_len)."""
+        """-> (term_h, doc_id, tf, pos_buf, pos_off, posting_dl|None) over
+        the whole task, plus per-chunk (doc_id, doc_len)."""
         if not self.parts:
             z = np.empty(0, dtype=np.int64)
             return (
                 z, z, z.astype(np.int32), b"",
-                np.zeros(1, dtype=np.int64), z, z,
+                np.zeros(1, dtype=np.int64),
+                z if self.dl_in_runs else None, z, z,
             )
         th = np.concatenate([p[0] for p in self.parts])
         did = np.concatenate([p[1] for p in self.parts])
@@ -250,9 +253,14 @@ class _TaskAccumulator:
             [offs[0][:1]] + [o[1:] + b for o, b in zip(offs, base)]
         )
         pos_buf = b"".join(bufs)
+        pdl = (
+            np.concatenate([p[5] for p in self.parts])
+            if self.dl_in_runs
+            else None
+        )
         cid = np.concatenate(self.chunk_ids)
         cdl = np.concatenate(self.chunk_dls)
-        return th, did, tf, pos_buf, pos_off, cid, cdl
+        return th, did, tf, pos_buf, pos_off, pdl, cid, cdl
 
 
 def _p1_task(
@@ -266,6 +274,7 @@ def _p1_task(
     nb: int,
     salt_buckets: int,
     sub_batch_docs: int = 2048,
+    dl_in_runs: bool = True,
 ) -> dict:
     """One build task: read own corpus files -> chunk+tokenize -> sorted
     per-bucket runs + doc-stats run. Returns the task summary."""
@@ -283,7 +292,7 @@ def _p1_task(
     ofs, flat_root = pyarrow_fs_for(flat_uri)
     _, ds_root = pyarrow_fs_for(ds_uri)
 
-    acc = _TaskAccumulator()
+    acc = _TaskAccumulator(dl_in_runs=dl_in_runs)
     repo_h: dict[str, int] = {}
     pending = 0
     for path in paths:
@@ -331,7 +340,7 @@ def _p1_task(
                         acc.flush()
                         pending = 0
     acc.flush()
-    term_h, doc_id, tf, pos_buf, pos_off, cid, cdl = acc.concat()
+    term_h, doc_id, tf, pos_buf, pos_off, pdl, cid, cdl = acc.concat()
     n = len(term_h)
 
     # salt (bit-identical to the JVM column: pmod(xxhash64(doc_id), sb) for
@@ -353,30 +362,33 @@ def _p1_task(
     salt_s = salt[order]
     doc_s = doc_id[order]
     tf_s = tf[order]
+    dl_s = pdl[order] if dl_in_runs else None
     pos_vals, pos_off_s = _gather_slices(pos_buf, pos_off, order)
 
     # one run per present bucket, rows already contiguous after the sort.
-    # doc_len is deliberately NOT a run column (p2_direct re-attaches it
-    # from the doc-stats runs): the merge phase is DRAM-bound, and not
-    # carrying 8 bytes/posting through its read+concat+gather was the one
-    # engine-side lever the round-3 phase decomposition identified.
+    # doc_len IS a run column by default (p1_dl_in_runs): the round-4
+    # shed-and-re-attach layout saved 8 bytes/posting of merge traffic but
+    # paid a per-posting binary search over the doc-stats table at encode
+    # time — measured strictly slower at every level (round-5 A/B,
+    # bench/p2_dl_ab.py). The shed layout remains selectable per config.
     bounds = np.searchsorted(bucket_s, np.arange(nb + 1), side="left")
     for b in range(nb):
         lo, hi = int(bounds[b]), int(bounds[b + 1])
         if lo == hi:
             continue
         off_b = pos_off_s[lo : hi + 1] - pos_off_s[lo]
-        run = pa.table(
-            {
-                "term_h": pa.array(term_s[lo:hi], type=pa.int64()),
-                "salt": pa.array(salt_s[lo:hi], type=pa.int32()),
-                "doc_id": pa.array(doc_s[lo:hi], type=pa.int64()),
-                "tf": pa.array(tf_s[lo:hi], type=pa.int32()),
-                "pos_vb": _binary_array(
-                    pos_vals[int(pos_off_s[lo]) : int(pos_off_s[hi])], off_b
-                ),
-            }
+        cols = {
+            "term_h": pa.array(term_s[lo:hi], type=pa.int64()),
+            "salt": pa.array(salt_s[lo:hi], type=pa.int32()),
+            "doc_id": pa.array(doc_s[lo:hi], type=pa.int64()),
+            "tf": pa.array(tf_s[lo:hi], type=pa.int32()),
+        }
+        if dl_in_runs:
+            cols["doc_len"] = pa.array(dl_s[lo:hi], type=pa.int64())
+        cols["pos_vb"] = _binary_array(
+            pos_vals[int(pos_off_s[lo]) : int(pos_off_s[hi])], off_b
         )
+        run = pa.table(cols)
         dest_dir = f"{flat_root.rstrip('/')}/bucket={b}"
         ofs.create_dir(dest_dir, recursive=True)
         with ofs.open_output_stream(
@@ -453,13 +465,14 @@ def build_flat_runs(
     chunker_cfg = cfg.chunker
     nb = cfg.index.term_buckets
     sb = cfg.index.salt_buckets
+    dl_in_runs = cfg.index.p1_dl_in_runs
     hot_h = np.sort(np.array([_xxh_str(t) for t in hot_terms], dtype=np.int64))
 
     def _run(item):
         tid, paths = item
         return _p1_task(
             tid, paths, corpus_uri, flat_dir, doc_stats_dir,
-            chunker_cfg, hot_h, nb, sb,
+            chunker_cfg, hot_h, nb, sb, dl_in_runs=dl_in_runs,
         )
 
     sc = spark.sparkContext

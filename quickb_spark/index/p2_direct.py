@@ -94,8 +94,13 @@ SUMMARY_SCHEMA = StructType(
 
 _CHECKPOINT_COLS = ["term_h", "salt", "doc_id", "tf", "doc_len", "pos_vb"]
 
-#: Sorted-runs layout (direct phase 1): doc_len is NOT carried per posting
-#: — the merge re-attaches it from the doc-stats runs (see _doc_len_lookup).
+#: Shed sorted-runs layout (p1_dl_in_runs=False): doc_len is NOT carried
+#: per posting — the merge re-attaches it from the doc-stats runs (see
+#: _doc_len_lookup). NOT the default: the re-attach is a per-posting
+#: binary search over the corpus doc-stats table, and at 4M docs (lookup
+#: > LLC) it measured phase 2 at 148-150s vs 79-94s with dl in the runs
+#: (32 cores, bench/p2_dl_ab_4m.py) — random DRAM probes on the
+#: DRAM-bound phase cost far more than 8 sequential bytes/posting.
 _RUN_COLS = ["term_h", "salt", "doc_id", "tf", "pos_vb"]
 
 #: Conservative decoded-working-set multiplier over a bucket's on-disk run
@@ -513,10 +518,11 @@ def _merge_one_bucket(
     granular splitting with a df-summing lexicon read; not needed at this
     corpus size.
 
-    doc_len: runs written by the current phase 1 do not carry it (8
-    bytes/posting off this DRAM-bound phase's read+concat+gather traffic);
-    it is re-attached here from the per-worker-cached doc-stats lookup.
-    Legacy runs that do carry a doc_len column are still consumed as-is."""
+    doc_len: runs carry it per posting by default (p1_dl_in_runs; the
+    round-5 A/B showed the shed layout's per-posting doc-stats searchsorted
+    nearly doubling this phase at 4M docs — bench/p2_dl_ab_4m.py). Shed
+    runs (no doc_len column) are still consumed: the merge re-attaches
+    from the per-worker-cached doc-stats lookup."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -701,7 +707,17 @@ def merge_encode_buckets(
     # grows into the thousands long before executor counts do.
     target = target_bytes or max(32 << 20, total // max(64, len(by_bucket)))
     mem_budget = task_mem_bytes or (4 << 30)
-    if ds_dir is not None:
+    # the doc-stats residency bound only applies when the runs were written
+    # without a doc_len column (the shed layout) — sniff one run's schema
+    # (a metadata-only read) rather than guessing from config
+    dl_in_runs = False
+    if files:
+        import pyarrow.parquet as pq
+
+        fsys0, _ = pyarrow_fs_for(flat_dir)
+        with fsys0.open_input_file(files[0][1]) as f:
+            dl_in_runs = "doc_len" in pq.ParquetFile(f).schema_arrow.names
+    if ds_dir is not None and not dl_in_runs:
         from pyarrow import fs as pafs
 
         fsys, root = pyarrow_fs_for(ds_dir)

@@ -245,28 +245,37 @@ class Searcher:
         ranges: int | str = "auto",
         phrase: bool = False,
         match_all: bool = False,
+        slop: int = 0,
     ) -> DataFrame:
         """(query_id, rank, doc_id, score); queries as (query_id, text)
         pairs (preferred for serving — driver-side tokenize, zero extra
         jobs) or a (query_id, query_text) DataFrame (collected: a query
         batch is small by definition).
 
-        phrase=True: exact-phrase retrieval — each query's text must occur
-        as CONSECUTIVE tokens in a doc for it to be returned; scores are
-        the unchanged BM25 sums, ranked identically. Requires an index
-        built with store_positions and a pyarrow-reachable FS (the direct
-        serving path position-verifies candidates block by block).
+        phrase=True: phrase retrieval — each query's tokens must occur in
+        a doc IN ORDER with successive-token position gaps <= slop + 1
+        (slop=0, the default: exact consecutive phrase; slop=N: "these
+        terms in order within N extra tokens" — the code-search follow-up
+        to exact phrase). Scores are the unchanged BM25 sums, ranked
+        identically. Requires an index built with store_positions and a
+        pyarrow-reachable FS (the direct serving path position-verifies
+        candidates block by block).
 
         match_all=True: conjunctive (AND-mode) retrieval — only docs
         containing EVERY query term are returned; scores and ranking are
         the unchanged BM25 sums (gate analog: t6_bm25_conjunctive).
-        Direct serving path only, like phrase; phrase already implies
-        all-terms containment, so combining the two is rejected."""
+        Works on BOTH serving paths (AND-mode needs no positions); phrase
+        already implies all-terms containment, so combining the two is
+        rejected."""
         if phrase and match_all:
             raise ValueError(
-                "phrase=True already requires every term (consecutively); "
+                "phrase=True already requires every term (in order); "
                 "pass only one of phrase/match_all"
             )
+        if slop and not phrase:
+            raise ValueError("slop only applies to phrase=True queries")
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
         if isinstance(queries, DataFrame):
             queries = [
                 (r["query_id"], r["query_text"]) for r in queries.collect()
@@ -335,17 +344,21 @@ class Searcher:
             return serve_topk_direct(
                 self.spark, files, qt_pairs_h, dfs_h, self.stats, k,
                 self.k1, self.b, strategy, r_count,
-                phrase_seqs=phrase_seqs, conj_seqs=conj_seqs,
+                phrase_seqs=phrase_seqs, conj_seqs=conj_seqs, slop=slop,
             )
-        if phrase or match_all:
+        if phrase:
             raise ValueError(
-                "phrase/match_all queries require the direct serving path "
-                "(pyarrow-reachable index FS, QKB_SERVE_CHANNEL unset)"
+                "phrase queries require the direct serving path "
+                "(pyarrow-reachable index FS, QKB_SERVE_CHANNEL unset) — "
+                "position verification reads the v5 block slices directly"
             )
+        # match_all needs no positions, so unlike phrase it is expressible
+        # on the channel scorer too: HDFS-only deployments keep AND-mode
+        # (same _conj_topk kernel both paths — identity tested)
         seg = self.seg.filter(F.col("bucket").isin(buckets)).filter(
             F.col("term_h").isin(list(th.values()))
         )
         return _score_segments(
             self.spark, seg, qt_pairs_h, dfs_h, self.stats, k,
-            self.k1, self.b, strategy, r_count,
+            self.k1, self.b, strategy, r_count, conj_seqs=conj_seqs,
         )

@@ -440,6 +440,35 @@ def _idf_of(term, dfs, n_docs):
     return float(np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5)))
 
 
+def _conj_topk(structs, terms, k):
+    """Conjunctive (all-terms) top-k within one range: docs containing
+    EVERY query term, scored with the same BM25 sum as any-mode queries,
+    ranked (score desc, doc asc). The candidate set is the sorted-array
+    intersection of the terms' doc lists (smallest-first); ranges
+    partition the doc space, so per-range lists merge exactly. Lives here
+    (not serve_direct) because it is shared by BOTH serving paths — the
+    direct range tasks and the channel applyInPandas scorer — one code
+    path, one bit pattern."""
+    uniq = list(dict.fromkeys(terms))
+    if not uniq or any(t not in structs for t in uniq):
+        return [], []
+    base = min(uniq, key=lambda t: len(structs[t]["docs"]))
+    cand = structs[base]["docs"]
+    for t in uniq:
+        d = structs[t]["docs"]
+        if not len(d):
+            return [], []
+        pos = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+        cand = cand[d[pos] == cand]
+        if not len(cand):
+            return [], []
+    score = np.zeros(len(cand))
+    for t in uniq:  # insertion order == channel concat order (fp-identical)
+        score += structs[t]["scores"][np.searchsorted(structs[t]["docs"], cand)]
+    order = np.lexsort((cand, -score))[:k]
+    return cand[order].tolist(), score[order].tolist()
+
+
 def _score_query_set(
     structs, terms_by_query, k, strategy, k1, b, avgdl, emit_rank
 ):
@@ -493,7 +522,7 @@ def _score_query_set(
 
 def _make_batch_scorer(
     qt_pairs, dfs, n_docs, avgdl, k, k1, b, strategy, block_size,
-    emit_rank=False,
+    emit_rank=False, conj_seqs=None,
 ):
     """Per-RANGE scorer for a whole query batch.
 
@@ -530,9 +559,23 @@ def _make_batch_scorer(
                 structs[term] = _build_struct(
                     parts, _idf_of(term, dfs, n_docs), k1, b, avgdl
                 )
-        out_q, out_d, out_s, out_r = _score_query_set(
-            structs, terms_by_query, k, strategy, k1, b, avgdl, emit_rank
-        )
+        if conj_seqs is not None:
+            # conjunctive (all-terms) mode: same structs, same BM25 sums,
+            # result set restricted by the shared _conj_topk kernel — the
+            # identical code path the direct range tasks run
+            out_q, out_d, out_s, out_r = [], [], [], []
+            for qid in sorted(conj_seqs):
+                doc_ids, scores = _conj_topk(structs, conj_seqs[qid], k)
+                out_q.extend([qid] * len(doc_ids))
+                out_d.extend(doc_ids)
+                out_s.extend(scores)
+                if emit_rank:
+                    out_r.extend(range(1, len(doc_ids) + 1))
+        else:
+            out_q, out_d, out_s, out_r = _score_query_set(
+                structs, terms_by_query, k, strategy, k1, b, avgdl,
+                emit_rank,
+            )
         out = {"query_id": out_q, "doc_id": out_d, "score": out_s}
         if emit_rank:
             out["rank"] = out_r
@@ -707,6 +750,7 @@ def _score_segments(
     b: float,
     strategy: str,
     r_count: int,
+    conj_seqs: dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """Shared scoring core: pruned segment rows → JVM-side range slicing
     (per TERM, deduplicated across queries) → per-range batch scorer →
@@ -714,12 +758,15 @@ def _score_segments(
     carried in the scorer closure — no join fans segment streams out per
     query, so a hot term shared by the whole batch ships once per range.
     Used by bm25_topk_segments (self-contained) and Searcher (cached
-    stats/lexicon, minimal per-batch jobs)."""
+    stats/lexicon, minimal per-batch jobs). `conj_seqs` (qid -> term_h
+    list) switches the scorer to conjunctive (all-terms) mode — AND
+    retrieval needs no positions, so unlike phrase it works on the channel
+    path (HDFS-only deployments keep the feature)."""
     block_size = int(stats.get("block_size", 128))
     sliced = _slice_to_ranges(spark, seg, r_count, block_size)
     scorer = _make_batch_scorer(
         qt_pairs, dfs, stats["n_docs"], stats["avgdl"], k, k1, b, strategy,
-        block_size, emit_rank=(r_count == 1),
+        block_size, emit_rank=(r_count == 1), conj_seqs=conj_seqs,
     )
     if r_count == 1:
         # one range covers the full doc space: each query's top-k is final,

@@ -64,9 +64,13 @@ class OracleIndex:
         scored = sorted(self.score(query).items(), key=lambda t: (-t[1], t[0]))
         return [(r + 1, d, s) for r, (d, s) in enumerate(scored[:k])]
 
-    def phrase_docs(self, query: str) -> set[int]:
-        """Docs whose token stream contains the query's tokens CONSECUTIVELY
-        (the exact-phrase predicate; positions are 0-based token offsets)."""
+    def phrase_docs(self, query: str, slop: int = 0) -> set[int]:
+        """Docs whose token stream contains the query's tokens IN ORDER
+        with successive-token position gaps in [1, slop + 1] (slop=0: the
+        exact-phrase predicate — consecutive tokens; positions are 0-based
+        token offsets). slop=0 keeps the original set-offset formulation;
+        slop>0 runs an independent forward chain DP (the set of positions
+        of term i that can end a valid in-order chain)."""
         seq = tokenize_py(query)
         if not seq or any(t not in self.postings for t in seq):
             return set()
@@ -75,19 +79,35 @@ class OracleIndex:
         for t in seq[1:]:
             cand &= set(self.postings[t])
         for doc_id in cand:
-            starts = set(self.postings[seq[0]][doc_id])
-            for off, t in enumerate(seq[1:], start=1):
-                starts &= {p - off for p in self.postings[t][doc_id]}
-                if not starts:
-                    break
-            if starts:
-                out.add(doc_id)
+            if slop == 0:
+                starts = set(self.postings[seq[0]][doc_id])
+                for off, t in enumerate(seq[1:], start=1):
+                    starts &= {p - off for p in self.postings[t][doc_id]}
+                    if not starts:
+                        break
+                if starts:
+                    out.add(doc_id)
+            else:
+                ends = set(self.postings[seq[0]][doc_id])
+                for t in seq[1:]:
+                    ends = {
+                        p
+                        for p in self.postings[t][doc_id]
+                        if any(1 <= p - q <= slop + 1 for q in ends)
+                    }
+                    if not ends:
+                        break
+                if ends:
+                    out.add(doc_id)
         return out
 
-    def phrase_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
-        """Exact-phrase top-k: BM25 scores unchanged, result set restricted
-        to phrase-matching docs, same (score desc, doc_id asc) ranking."""
-        match = self.phrase_docs(query)
+    def phrase_topk(
+        self, query: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, int, float]]:
+        """Phrase top-k: BM25 scores unchanged, result set restricted to
+        phrase-matching docs (gaps <= slop + 1), same
+        (score desc, doc_id asc) ranking."""
+        match = self.phrase_docs(query, slop=slop)
         scored = sorted(
             ((d, s) for d, s in self.score(query).items() if d in match),
             key=lambda t: (-t[1], t[0]),

@@ -277,13 +277,10 @@ def test_split_merge_identical(spark, both_indexes, tmp_path):
     assert pm_a == pm_b
 
 
-def test_runs_carry_no_doc_len(spark, both_indexes):
-    """Pin the round-4 layout: phase-1 runs are 8 bytes/posting lighter
-    (no per-posting doc_len); the merge re-attaches it from doc-stats."""
+def _run_schemas(idx_dir: str) -> set[str]:
     import pyarrow.parquet as pq
 
-    _, idx_di = both_indexes
-    flat = os.path.join(idx_di, "flat")
+    flat = os.path.join(idx_dir, "flat")
     runs = [
         os.path.join(r, f)
         for r, _, fs_ in os.walk(flat)
@@ -291,9 +288,47 @@ def test_runs_carry_no_doc_len(spark, both_indexes):
         if f.endswith(".parquet")
     ]
     assert runs
-    names = set(pq.ParquetFile(runs[0]).schema_arrow.names)
-    assert "doc_len" not in names
-    assert {"term_h", "salt", "doc_id", "tf", "pos_vb"} <= names
+    return set(pq.ParquetFile(runs[0]).schema_arrow.names)
+
+
+def test_runs_carry_doc_len_by_default(spark, both_indexes):
+    """Pin the round-5 default layout: doc_len IS a per-posting run column.
+    The round-4 shed-and-re-attach layout (8 bytes/posting lighter runs,
+    per-posting searchsorted at merge) measured strictly slower at every
+    level (bench/p2_dl_ab.py) and is now opt-in via p1_dl_in_runs=False."""
+    _, idx_di = both_indexes
+    names = _run_schemas(idx_di)
+    assert {"term_h", "salt", "doc_id", "tf", "doc_len", "pos_vb"} <= names
+
+
+def test_shed_layout_builds_identical_index(spark, corpus, both_indexes,
+                                            tmp_path):
+    """The opt-in shed layout (p1_dl_in_runs=False) writes runs WITHOUT
+    doc_len, and the merge's doc-stats re-attach produces an index whose
+    query results are identical to the default layout's."""
+    _, idx_di = both_indexes
+    idx_shed = str(tmp_path / "shed")
+    _seed_hot(idx_shed)
+    cfg = _cfg()
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, index=dataclasses.replace(cfg.index, p1_dl_in_runs=False)
+    )
+    build_index(spark, index_dir=idx_shed, cfg=cfg, corpus_uri=corpus)
+    assert "doc_len" not in _run_schemas(idx_shed)
+    queries = fixture_queries()[:6]
+    a = Searcher(spark, idx_di).topk(queries, k=10).collect()
+    b = Searcher(spark, idx_shed).topk(queries, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in a
+    ] == [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in b
+    ]
 
 
 def test_memory_guard_splits_and_fails_fast(spark, tmp_path):

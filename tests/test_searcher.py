@@ -143,8 +143,12 @@ def test_preload_warms_caches_and_preserves_results(spark, built):
     assert warmed > 0  # tmp-path index is pyarrow-reachable
     # phrase warm loads the position columns too — strictly more bytes
     assert s.preload(phrase=True) > warmed
-    # arena pretouch path (small: exercises the alloc/touch/free loop)
-    assert s.preload(pretouch_mb=64) == warmed
+    # arena pretouch path (small: exercises the alloc/touch/free loop).
+    # Tolerance, not equality: workers may now load via the host-shared
+    # Arrow-IPC cache, whose buffer padding differs from a direct parquet
+    # decode by a few hundred bytes (same rows, same values)
+    third = s.preload(pretouch_mb=64)
+    assert abs(third - warmed) <= max(64, warmed // 100)
     assert _ranked(s.topk(qs, k=10)) == want
 
     # channel fallback (no pyarrow-reachable listing): preload is a no-op,

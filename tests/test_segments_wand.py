@@ -517,12 +517,129 @@ def test_conjunctive_subset_of_any_mode_results(spark, built, chunks):
     assert phr <= cj
 
 
-def test_conjunctive_mode_guards(spark, built, monkeypatch):
+def test_conjunctive_mode_guards(spark, built, chunks, monkeypatch):
+    """phrase+match_all rejected; slop validated; phrase still raises on
+    the channel path; conjunctive no longer does — AND-mode needs no
+    positions, so the channel scorer serves it (HDFS-only deployments keep
+    the feature), identical to the direct path."""
     from quickb_spark.query.searcher import Searcher
 
     s = Searcher(spark, built)
     with pytest.raises(ValueError, match="only one of"):
         s.topk([("q1", "def import")], phrase=True, match_all=True)
+    with pytest.raises(ValueError, match="slop only applies"):
+        s.topk([("q1", "def import")], slop=2)
+    with pytest.raises(ValueError, match="slop must be"):
+        s.topk([("q1", "def import")], phrase=True, slop=-1)
+    queries = _conj_queries(chunks)[:5]
+    want = sorted(map(tuple, s.topk(queries, k=10, match_all=True).collect()))
     monkeypatch.setenv("QKB_SERVE_CHANNEL", "1")
     with pytest.raises(ValueError, match="direct serving path"):
-        s.topk([("q1", "def import")], match_all=True)
+        s.topk([("q1", "def import")], phrase=True)
+    got = sorted(map(tuple, s.topk(queries, k=10, match_all=True).collect()))
+    assert [(q, r, d) for q, r, d, _ in got] == [
+        (q, r, d) for q, r, d, _ in want
+    ]
+    for (_, _, _, a), (_, _, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# sloppy phrase (slop=N) — in-order retrieval with bounded gaps
+# --------------------------------------------------------------------------
+
+def _sloppy_queries(chunks):
+    """Deterministic sloppy-phrase set from REAL chunk text: every-other
+    token of a real token run matches that chunk at slop>=1 but (usually)
+    not at slop=0; plus exact runs and controls."""
+    from quickb_spark.functions.tokenize import tokenize_py
+
+    rows = chunks.select("text").limit(60).collect()
+    queries, qi = [], 0
+    for r in rows:
+        toks = tokenize_py(r["text"])
+        if len(toks) >= 8 and qi < 6:
+            # tokens 0,2,4: gaps of exactly 2 in the source chunk
+            queries.append((f"sp{qi:02d}", " ".join(toks[0:6:2])))
+            qi += 1
+    assert len(queries) >= 4
+    queries.append(("sp_exact", " ".join(tokenize_py(rows[0]["text"])[:4])))
+    queries.append(("sp_neg", "def zzqqxxnotaterm"))
+    return queries
+
+
+def test_sloppy_phrase_matches_bruteforce_oracle(spark, built, oracle, chunks):
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _sloppy_queries(chunks)
+    s = Searcher(spark, built)
+    for slop in (1, 2):
+        got: dict[str, list] = {qid: [] for qid, _ in queries}
+        for r in s.topk(queries, k=10, phrase=True, slop=slop).collect():
+            got[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+        nonempty = 0
+        for qid, qtext in queries:
+            want = oracle.phrase_topk(qtext, 10, slop=slop)
+            have = sorted(got[qid])
+            assert [(r, d) for r, d, _ in have] == [
+                (r, d) for r, d, _ in want
+            ], (qid, slop)
+            for (_, _, a), (_, _, b) in zip(have, want):
+                assert abs(a - b) < 1e-6, (qid, slop)
+            nonempty += bool(want)
+        assert nonempty >= len(queries) - 2
+        assert not got["sp_neg"]
+
+
+def test_sloppy_phrase_monotone_and_exact_at_zero(spark, built, chunks):
+    """slop=0 results are byte-identical to the pre-slop exact-phrase
+    path; the match set grows monotonically with slop; every sloppy hit
+    is a conjunctive hit with the same score (in-order implies
+    containment, and phrase never changes scoring)."""
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _sloppy_queries(chunks)[:5]
+    s = Searcher(spark, built)
+    explicit0 = sorted(
+        map(tuple, s.topk(queries, k=100, phrase=True, slop=0).collect())
+    )
+    default = sorted(map(tuple, s.topk(queries, k=100, phrase=True).collect()))
+    assert explicit0 == default
+    prev: set | None = None
+    for slop in (0, 1, 3):
+        hits = {
+            (r["query_id"], r["doc_id"])
+            for r in s.topk(queries, k=1000, phrase=True, slop=slop).collect()
+        }
+        if prev is not None:
+            assert prev <= hits, slop
+        prev = hits
+    conj = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in s.topk(queries, k=1000, match_all=True).collect()
+    }
+    sloppy = s.topk(queries, k=1000, phrase=True, slop=3).collect()
+    for r in sloppy:
+        key = (r["query_id"], r["doc_id"])
+        assert key in conj
+        assert abs(conj[key] - r["score"]) < 1e-12
+
+
+def test_sloppy_phrase_results_identical_for_all_range_counts(
+    spark, built, chunks
+):
+    from quickb_spark.query.searcher import Searcher
+
+    queries = _sloppy_queries(chunks)[:4]
+    s = Searcher(spark, built)
+    want = sorted(
+        map(tuple,
+            s.topk(queries, k=10, phrase=True, slop=2, ranges=1).collect())
+    )
+    for r_count in (3, 16):
+        got = sorted(
+            map(tuple,
+                s.topk(queries, k=10, phrase=True, slop=2,
+                       ranges=r_count).collect())
+        )
+        assert got == want, r_count

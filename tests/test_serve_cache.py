@@ -39,7 +39,11 @@ def _seg_file(path, n_rows, seed):
 
 
 @pytest.fixture(autouse=True)
-def _fresh_cache():
+def _fresh_cache(monkeypatch):
+    # isolate from the host-shared decoded cache (/dev/shm default): the
+    # LRU tests below assert decode/identity behavior of the in-process
+    # tier alone; the shm tier has its own tests further down
+    monkeypatch.setenv("QKB_SERVE_SHM_DIR", "")
     sd._TBL_CACHE.clear()
     sd._TBL_CACHE_BYTES[0] = 0
     yield
@@ -86,3 +90,71 @@ def test_cache_disable_reads_fresh(tmp_path, monkeypatch):
     a = sd._cached_table(str(p), want_pos=False)
     b = sd._cached_table(str(p), want_pos=False)
     assert a is not b and not sd._TBL_CACHE and sd._TBL_CACHE_BYTES[0] == 0
+
+
+# --------------------------------------------------------------------------
+# host-shared decoded-table cache (Arrow IPC in /dev/shm — the per-host
+# segment cache that makes the server open's decode once-per-HOST instead
+# of once-per-worker-process)
+# --------------------------------------------------------------------------
+
+
+def test_shm_publish_and_mmap_read(tmp_path, monkeypatch):
+    shm = tmp_path / "shm"
+    monkeypatch.setenv("QKB_SERVE_SHM_DIR", str(shm))
+    p = tmp_path / "seg.parquet"
+    want = _seg_file(p, 80, seed=5)
+    a = sd._cached_table(str(p), want_pos=False)
+    published = list(shm.glob("*.arrow"))
+    assert len(published) == 1  # decoded form published for peers
+    # simulate a DIFFERENT worker process: fresh LRU, parquet decode
+    # forbidden — the table must come back via the shm mmap alone
+    sd._TBL_CACHE.clear()
+    sd._TBL_CACHE_BYTES[0] = 0
+    import pyarrow.parquet as _pq
+
+    def _boom(*a, **k):
+        raise AssertionError("peer worker must not re-decode parquet")
+
+    monkeypatch.setattr(_pq, "read_table", _boom)
+    b = sd._cached_table(str(p), want_pos=False)
+    assert b.equals(a)
+    assert b.num_rows == want.num_rows
+
+
+def test_shm_fingerprint_never_serves_stale(tmp_path, monkeypatch):
+    shm = tmp_path / "shm"
+    monkeypatch.setenv("QKB_SERVE_SHM_DIR", str(shm))
+    p = tmp_path / "seg.parquet"
+    _seg_file(p, 30, seed=6)
+    sd._cached_table(str(p), want_pos=False)
+    # rebuild: same path, new content — the shm key includes (size,
+    # mtime), so the stale entry can never match
+    time.sleep(0.01)
+    _seg_file(p, 45, seed=7)
+    os.utime(p)
+    sd._TBL_CACHE.clear()
+    sd._TBL_CACHE_BYTES[0] = 0
+    b = sd._cached_table(str(p), want_pos=False)
+    assert b.num_rows == 45
+
+
+def test_shm_eviction_bounds_dir(tmp_path, monkeypatch):
+    shm = tmp_path / "shm"
+    monkeypatch.setenv("QKB_SERVE_SHM_DIR", str(shm))
+    monkeypatch.setenv("QKB_SERVE_SHM_MB", "1")
+    for i in range(8):
+        p = tmp_path / f"seg{i}.parquet"
+        _seg_file(p, 2000, seed=10 + i)
+        sd._cached_table(str(p), want_pos=False)
+    total = sum(f.stat().st_size for f in shm.glob("*.arrow"))
+    assert total <= 1 << 20
+    assert list(shm.glob("*.arrow"))  # newest survives
+
+
+def test_shm_disabled_publishes_nothing(tmp_path, monkeypatch):
+    monkeypatch.setenv("QKB_SERVE_SHM_DIR", "")
+    p = tmp_path / "seg.parquet"
+    _seg_file(p, 10, seed=9)
+    sd._cached_table(str(p), want_pos=False)
+    assert sd._shm_dir() is None
