@@ -134,8 +134,12 @@ def main() -> None:
     # that, not the engine, was most of the r4 q_index_build "regression"
     # at sf0.1 (reproduced in bench/p2_dl_ab.py: rep-0 phase-0 6.4s, every
     # warm rep 0.5s).
+    # 2 files per task slot: the direct phase-1 plans min(len(files), cores)
+    # tasks on tiny corpora, so fewer files than cores would warm only a
+    # subset of the worker pool (8 files warmed 8 of 32 workers — the
+    # timed build then paid the other 24 workers' first-use imports)
     warm_corpus = f"{tmp}/warm_corpus"
-    corpus.limit(500).repartition(8).write.parquet(warm_corpus)
+    corpus.limit(1000).repartition(cpus * 2).write.parquet(warm_corpus)
     warm_idx = f"{tmp}/warm_index"
     build_index(spark, index_dir=warm_idx, cfg=cfg, corpus_uri=warm_corpus)
     bm25_topk_segments(spark, warm_idx, qdf.limit(4), k=10).count()
