@@ -520,13 +520,42 @@ def _q_decomp_md(hrows) -> str:
             for r in with_warm
         ]
     )
+    cur_txt = ""
+    cur_key = _engine_commit(with_warm[-1]["lo"].get("commit"))
+    cur_warm = [
+        r for r in with_warm
+        if _engine_commit(r["lo"].get("commit")) == cur_key
+        and _engine_commit(r["hi"].get("commit")) == cur_key
+    ]
+    if cur_warm and len(cur_warm) < len(with_warm):
+        # the fixed cost is an ENGINE property (round 5 moved the decode
+        # from once-per-worker to once-per-host via the shared cache), so
+        # the all-era median mixes two different products — print the
+        # current era's figure beside it
+        c_lo = _median(
+            [
+                r["lo"]["query_batch_sec"] - _timed_warm_min(r["lo"])
+                for r in cur_warm
+            ]
+        )
+        c_hi = _median(
+            [
+                r["hi"]["query_batch_sec"] - _timed_warm_min(r["hi"])
+                for r in cur_warm
+            ]
+        )
+        cur_txt = (
+            f" CURRENT engine (era {cur_key}, {len(cur_warm)} pairs — "
+            f"host-shared decoded-segment cache): fixed cost medians "
+            f"{c_lo:.2f}s @N vs {c_hi:.2f}s @4N."
+        )
     return (
         f"\nQuery-batch decomposition ({len(with_warm)} of {len(hrows)} "
         "headline pairs carry the round-4 warm-repeat fields): WARM-batch "
         f"efficiency (pure scoring job, per-batch fixed cost excluded) "
         f"median {med_warm:.3f}; the cold-warm difference — the once-per-"
         f"fresh-server df-lookup + listing fixed cost — medians "
-        f"{fixed_lo:.2f}s @N vs {fixed_hi:.2f}s @4N."
+        f"{fixed_lo:.2f}s @N vs {fixed_hi:.2f}s @4N.{cur_txt}"
     )
 
 
